@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data operators) as (spark, sf_dir) → DataFrame; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for each SQL-expressible one. Column
+names and rounding are kept bit-compatible between the two sides.
+
+KG-construction queries (the north-rule pipeline) run over a deterministic
+synthetic interleaved-span corpus (no external data) and are non-SQL-
+expressible → rows-only checks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+MOD = 1_000_000_007
+# portable minhash permutation params — mirror operators.dedup._perm_params(4)
+_PERMS = [(2000007, 7), (3999933, 912878), (606667, 1825749), (6222137, 2738620)]
+
+_STOP = ("the", "and", "of", "to", "is")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over the synthetic interleaved corpus +
+    'who calls whom' adjacency — returns the CALLS triple frame."""
+    from code_graph_rag_spark.fixtures import synth_corpus
+    from code_graph_rag_spark.pipeline import build_graph
+
+    g = build_graph(synth_corpus(spark, 12, funcs_per_doc=3, pkg_fanout=4))
+    return g.edges.filter(F.col("pred") == "CALLS").select(
+        "subj", "pred", "obj"
+    ).orderBy("subj", "obj")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (rows-only checks: input is synthesized, not in sf_dir)
+# ---------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def _synth_graph(spark: SparkSession):
+    key = "synth30"
+    if key not in _GRAPH_CACHE:
+        from code_graph_rag_spark.fixtures import synth_corpus
+        from code_graph_rag_spark.pipeline import build_graph
+
+        _GRAPH_CACHE[key] = build_graph(
+            synth_corpus(spark, 30, funcs_per_doc=4, pkg_fanout=6)
+        )
+    return _GRAPH_CACHE[key]
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _synth_graph(spark)
+    return g.edges.select("subj", "pred", "obj", "subj_label", "obj_label")
+
+
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _synth_graph(spark)
+    return g.nodes.select("label", "id", "name")
+
+
+def kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _synth_graph(spark)
+    return g.adjacency().select("node", "pred", "direction", "neighbors")
+
+
+def kg_callers_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read path: who calls fn_0 of module mod00001 (point-lookup join)."""
+    g = _synth_graph(spark)
+    return (
+        g.edges.filter(
+            (F.col("pred") == "CALLS")
+            & (F.col("obj") == "synth.pkg001.mod00001.fn_0")
+        )
+        .select("subj")
+        .orderBy("subj")
+    )
+
+
+def kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph summary: node counts by label, desc (cypher_queries.py:171-181)."""
+    g = _synth_graph(spark)
+    return (
+        g.nodes.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (DuckDB-verified)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("sum_qty", F.round("sum_qty", 4))
+        .withColumn("sum_base_price", F.round("sum_base_price", 4))
+        .withColumn("sum_disc_price", F.round("sum_disc_price", 4))
+        .withColumn("sum_charge", F.round("sum_charge", 4))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (anti) + count of those with orders (semi)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = cust.join(orders, "c_custkey", "left_semi").count()
+    without = cust.join(orders, "c_custkey", "left_anti")
+    return without.select(
+        F.col("c_custkey"),
+        F.lit(with_orders).alias("n_with_orders"),
+    ).orderBy("c_custkey")
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (window rank)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def agg_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup account balances by region/nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.count("*").alias("n_cust"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation + JSON prop extraction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap per user → session counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def set_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having customers but no suppliers (set difference)."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        cust_nations.distinct()
+        .exceptAll(supp_nations.distinct())
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators over documents (DuckDB-verified)
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id").drop(
+        "n_bpe_tokens"
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup operators (DuckDB-verified where SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents")).orderBy(
+        "content_hash"
+    )
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=4)
+    return sigs.select(
+        "doc_id",
+        F.col("sig")[0].alias("m0"),
+        F.col("sig")[1].alias("m1"),
+        F.col("sig")[2].alias("m2"),
+        F.col("sig")[3].alias("m3"),
+    ).orderBy("doc_id")
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from code_graph_rag_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (pandas-UDF path; rows-only check)."""
+    from code_graph_rag_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidates (band hash uses Spark's hash →
+    rows-only check; the signature agreement fraction is portable)."""
+    from code_graph_rag_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (DuckDB-verified)
+# ---------------------------------------------------------------------------
+
+
+def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = _queries_frame(spark, sf_dir).withColumn(
+        "q_embedding", F.transform("q_embedding", lambda x: x.cast("double"))
+    )
+    from code_graph_rag_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, q, k=10)
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "query_id", "rank"
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (rows-only: hyperplanes are engine-side constants)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_frame(spark, sf_dir)
+    from code_graph_rag_spark.operators.similarity import lsh_topk
+
+    dim = len(emb.select("embedding").head()[0])
+    return lsh_topk(emb, q, dim=dim, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline (north rule) — synthesized input, rows-only
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_adjacency": kg_adjacency,
+        "kg_callers_of": kg_callers_of,
+        "kg_stats": kg_stats,
+        # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "join_semi_anti": join_semi_anti,
+        "window_topk_orders": window_topk_orders,
+        "agg_rollup_nation": agg_rollup_nation,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "set_except_suppliers": set_except_suppliers,
+        # training-data operators
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_sigs": dedup_minhash_sigs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_lsh_candidates": dedup_lsh_candidates,
+        "ann_bruteforce_topk": ann_bruteforce_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NTOKS = (
+    "list_filter(regexp_split_to_array(trim("
+    + _NORM
+    + "), '\\s+'), x -> x <> '')"
+)
+_HASH60 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+_SHINGLES = (
+    "(CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
+    "ELSE list_distinct([array_to_string({t}[i:i+2], ' ') "
+    "for i in generate_series(1, len({t}) - 2)]) END)"
+).format(t=_NTOKS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "['" + "','".join(_STOP) + "']"
+    lang_hits = {
+        lang: (
+            "len(list_filter(list_transform("
+            + _TOKS
+            + ", x -> lower(x)), x -> list_contains(["
+            + ",".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for lang, words in {
+            "en": ["the", "and", "of", "to", "is"],
+            "fr": ["le", "la", "et", "les", "des"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "es": ["el", "los", "que", "de", "una"],
+        }.items()
+    }
+    minhash_cols = ", ".join(
+        f"list_aggregate(list_transform({_SHINGLES}, s -> "
+        f"(({_HASH60.format(expr='s')} % {MOD}) * {a} + {b}) % {MOD}), 'min') AS m{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "join_semi_anti": """
+            SELECT c_custkey,
+                   (SELECT count(*) FROM customer
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "agg_rollup_nation": """
+            SELECT r_name, n_name,
+                   round(sum(c_acctbal), 4) AS total_bal,
+                   count(*) AS n_cust
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS total_value,
+                   sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM marked
+            ), per_sess AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "set_except_suppliers": """
+            SELECT nationkey FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            ) ORDER BY nationkey
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars_measured
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       {_TOKS} AS toks,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       CASE WHEN n_chars > 0
+                            THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> list_contains({stop_list}, lower(x))))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks)
+                            ELSE 0.0 END AS mean_token_len
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(mean_token_len, 6) AS mean_token_len,
+                   round(least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+                         + stopword_ratio * 0.3
+                         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3, 6) AS quality
+            FROM feats ORDER BY doc_id
+        """,
+        "text_langid": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {lang_hits["en"]} AS h_en,
+                       {lang_hits["fr"]} AS h_fr,
+                       {lang_hits["de"]} AS h_de,
+                       {lang_hits["es"]} AS h_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE greatest(h_en, h_fr, h_de, h_es)
+                        WHEN h_de THEN 'de'
+                        WHEN h_en THEN 'en'
+                        WHEN h_es THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   greatest(h_en, h_fr, h_de, h_es) AS marker_hits
+            FROM h ORDER BY doc_id
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   {_HASH60.format(expr=_NORM)} AS content_hash,
+                   list_aggregate(list_transform({_SHINGLES},
+                       s -> {_HASH60.format(expr='s')}), 'min') AS min_shingle_hash
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact_groups": f"""
+            SELECT {_HASH60.format(expr=_NORM)} AS content_hash,
+                   count(*) AS n_docs,
+                   array_agg(doc_id ORDER BY doc_id) AS doc_ids,
+                   min(doc_id) AS keeper
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+            ORDER BY content_hash
+        """,
+        "dedup_minhash_sigs": f"""
+            SELECT doc_id, {minhash_cols}
+            FROM (SELECT doc_id, text FROM documents)
+            ORDER BY doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({_SHINGLES}) AS shingle
+                FROM documents
+            ), counts AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6)
+                       AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_bruteforce_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_aggregate(list_transform(
+                           list_zip(q.qe, e.embedding::DOUBLE[]),
+                           p -> p[1] * p[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(q.qe, x -> x*x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[], x -> x*x), 'sum')))
+                       AS cos_raw
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, round(cos_raw, 4) AS cosine,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_raw DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank
+            FROM ranked WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+    }

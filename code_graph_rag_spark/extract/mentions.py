@@ -1,0 +1,61 @@
+"""documents → mentions: the vectorized extraction stage.
+
+One ``mapInPandas`` over the documents frame (repartitioned by range on
+``doc_id`` for deterministic, size-balanced partitions — the north rule's
+explicit contract). Each Arrow batch is parsed with the pure-Python kernel in
+``pylite.py``; one input row yields N mention rows (the reference's
+"one file → many ensure_node/relationship calls" UDTF shape,
+``codebase_rag/graph_updater.py:1841-1882``).
+
+Only ``kind='code'`` spans contribute text; docstring/comment/media spans are
+untouched (per-row span-sequence invariant). Span texts are concatenated in
+``offset`` order — the extraction must never reorder them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from code_graph_rag_spark.extract.pylite import parse_document
+from code_graph_rag_spark.schema import MENTIONS_SCHEMA
+
+_COLS = [f.name for f in MENTIONS_SCHEMA.fields]
+
+_INT_COLS = {"start_line", "end_line", "start_col", "base_index"}
+
+
+def _code_text(spans: list) -> str:
+    # spans arrive sorted by offset from the source contract; sort defensively
+    # on the ordering key without mutating the row (invariant: never reorder
+    # the stored spans — this sort is over a local copy).
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    return "".join(s["text"] or "" for s in ordered if s["kind"] == "code")
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from code_graph_rag_spark.extract.pylite import module_qn_for
+
+    for pdf in batches:
+        rows: list[dict] = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            module_qn, _ = module_qn_for(doc_id)
+            text = _code_text(list(spans))
+            for m in parse_document(doc_id, text):
+                m["doc_id"] = doc_id
+                m["module_qn"] = module_qn
+                rows.append(m)
+        out = pd.DataFrame(rows, columns=_COLS)
+        for c in _INT_COLS:
+            out[c] = out[c].astype("Int32")
+        yield out
+
+
+def extract_mentions(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) → mentions frame (MENTIONS_SCHEMA)."""
+    n = partitions or documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.repartitionByRange(n, F.col("doc_id"))
+    return docs.mapInPandas(_extract_batches, schema=MENTIONS_SCHEMA)

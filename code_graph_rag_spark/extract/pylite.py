@@ -1,0 +1,435 @@
+"""Single-document mention extraction for a Python-like mini-language.
+
+This is the per-document "mention detection" kernel that runs inside the
+Arrow-batched ``mapInPandas`` UDF (see ``extract/mentions.py``). It has NO
+Spark dependency and NO cross-document state: everything that needs another
+file's knowledge (import verification, inheritance resolution, simple-name
+fallback, variant fan-out) is deliberately *not* done here — those are
+DataFrame joins downstream. That in-UDF/in-join boundary is the central
+architectural translation of the reference (SURVEY.md §2.12): the reference
+computes the same facts with tree-sitter + shared in-memory registries
+(``codebase_rag/parsers/definition_processor.py``, ``function_ingest.py``,
+``call_processor.py``); we compute the per-file facts here and the shared
+state as joins.
+
+Semantics mirrored from the reference (each cited where implemented):
+
+* qualified names ``project.rel.path[.Class][.func]`` with index files
+  collapsing to the directory (``definition_processor.py:312-319``);
+* nested definitions attach to their enclosing scope, not the module
+  (``docs/architecture/graph-schema.md`` "Nested Definitions");
+* anonymous functions named ``lambda_<line>_<col>``
+  (``function_ingest.py:1160-1163``);
+* calls attributed to the innermost enclosing function/method/module
+  (``call_processor.py:1398-1660``);
+* caller-sensitive resolution hints (enclosing-scope rung, class-context
+  rung of ``call_resolver.py:721-974``) computed per-document;
+* base-class list order preserved as ``base_index``
+  (``graph_updater.py:1195-1225``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+KEYWORDS = frozenset(
+    """def class if elif else while for return yield with as assert lambda
+    except not and or in is raise del pass try finally import from global
+    nonlocal await async match case True False None""".split()
+)
+
+_DEF_RE = re.compile(r"^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(")
+_CLASS_RE = re.compile(r"^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:")
+_IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
+_FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
+_DECOR_RE = re.compile(r"^(\s*)@\s*([\w.]+)")
+_CALL_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(")
+_IDENT_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\b")
+_STR_RE = re.compile(r"('''|\"\"\"|'|\")")
+
+
+def module_qn_for(doc_id: str) -> tuple[str, str]:
+    """(module_qn, project) for a document path.
+
+    Index files (``__init__.py`` / ``mod.rs`` / ``index.ts``) collapse to
+    their directory (reference ``definition_processor.py:315-318``).
+    """
+    parts = doc_id.split("/")
+    project = parts[0]
+    stem = parts[-1]
+    dot = stem.rfind(".")
+    base = stem[:dot] if dot > 0 else stem
+    if base in ("__init__", "mod", "index"):
+        qn_parts = parts[:-1]
+    else:
+        qn_parts = parts[:-1] + [base]
+    return ".".join(qn_parts), project
+
+
+def doc_extension(doc_id: str) -> str:
+    stem = doc_id.rsplit("/", 1)[-1]
+    dot = stem.rfind(".")
+    return stem[dot + 1 :] if dot > 0 else ""
+
+
+@dataclass
+class _Scope:
+    indent: int
+    kind: str  # module | class | function | method
+    qn: str
+    name: str
+    start_line: int
+    children: set[str] = field(default_factory=set)
+
+
+def _strip_strings_and_comments(line: str) -> str:
+    """Blank out string-literal contents and trailing comments so the call
+    regex never fires inside them. Single-line approximation; triple-quoted
+    blocks are handled by the caller's line loop."""
+    out = []
+    i, n = 0, len(line)
+    while i < n:
+        ch = line[i]
+        if ch == "#":
+            break
+        if ch in ("'", '"'):
+            quote = line[i : i + 3] if line[i : i + 3] in ("'''", '"""') else ch
+            j = line.find(quote, i + len(quote))
+            if j == -1:
+                out.append(" " * (n - i))
+                i = n
+                break
+            out.append(quote + " " * (j - i - len(quote)) + quote)
+            i = j + len(quote)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_document(doc_id: str, code_text: str) -> list[dict]:
+    """Parse one document's concatenated code text into mention rows.
+
+    Returns a list of dicts matching ``schema.MENTIONS_SCHEMA`` (without
+    doc_id/module_qn, filled by the caller).
+    """
+    module_qn, project = module_qn_for(doc_id)
+    lines = code_text.split("\n")
+    mentions: list[dict] = []
+
+    module_scope = _Scope(-1, "module", module_qn, module_qn.rsplit(".", 1)[-1], 1)
+    stack: list[_Scope] = [module_scope]
+    # def/class registry for this file: scope_qn -> child simple names
+    children: dict[str, set[str]] = {module_qn: module_scope.children}
+    def_rows: list[dict] = []  # definition mentions, end_line patched later
+    open_defs: list[tuple[dict, int]] = []  # (row, indent) for end_line patch
+    pending_decorators: list[str] = []
+    pending_docstring_for: dict | None = None
+
+    call_rows: list[dict] = []  # resolved-later call/ref mentions
+    in_triple: str | None = None
+
+    def scope_pop_to(indent: int, line_no: int) -> None:
+        while len(stack) > 1 and indent <= stack[-1].indent:
+            stack.pop()
+        # patch end_line on defs that closed
+        while open_defs and indent <= open_defs[-1][1]:
+            row, _ = open_defs.pop()
+            row["end_line"] = line_no - 1
+
+    for idx, raw in enumerate(lines):
+        line_no = idx + 1
+        if in_triple is not None:
+            pos = raw.find(in_triple)
+            if pos != -1:
+                in_triple = None
+            continue
+        if not raw.strip():
+            continue
+        indent = len(raw) - len(raw.lstrip())
+        line = _strip_strings_and_comments(raw)
+        stripped = line.strip()
+        if not stripped:
+            # line was pure comment/string noise
+            rs = raw.strip()
+            if rs.startswith(("'''", '"""')) and not (
+                rs.endswith(("'''", '"""')) and len(rs) >= 6
+            ):
+                in_triple = rs[:3]
+            continue
+
+        # docstring capture: first statement after a def/class header
+        if pending_docstring_for is not None:
+            rs = raw.strip()
+            if rs.startswith(("'''", '"""')):
+                quote = rs[:3]
+                props = json.loads(pending_docstring_for["props"] or "{}")
+                body = rs[3:]
+                if body.endswith(quote) and len(rs) >= 6:
+                    props["docstring"] = body[: -len(quote)].strip()
+                else:
+                    props["docstring"] = body.strip()
+                    in_triple = quote
+                pending_docstring_for["props"] = json.dumps(props, sort_keys=True)
+                pending_docstring_for = None
+                continue
+            pending_docstring_for = None
+
+        scope_pop_to(indent, line_no)
+        parent = stack[-1]
+
+        m = _DECOR_RE.match(line)
+        if m:
+            pending_decorators.append(m.group(2))
+            continue
+
+        m = _DEF_RE.match(line)
+        if m:
+            name = m.group(2)
+            qn = f"{parent.qn}.{name}"
+            kind = "method" if parent.kind == "class" else "function"
+            props: dict = {}
+            if pending_decorators:
+                props["decorators"] = list(pending_decorators)
+            row = {
+                "kind": kind,
+                "qn": qn,
+                "name": name,
+                "parent_qn": parent.qn,
+                "parent_kind": parent.kind.capitalize(),
+                "start_line": line_no,
+                "end_line": line_no,
+                "start_col": indent,
+                "props": json.dumps(props, sort_keys=True) if props else None,
+            }
+            def_rows.append(row)
+            open_defs.append((row, indent))
+            parent.children.add(name)
+            scope = _Scope(indent, kind, qn, name, line_no)
+            stack.append(scope)
+            children[qn] = scope.children
+            pending_decorators = []
+            pending_docstring_for = row
+            continue
+
+        m = _CLASS_RE.match(line)
+        if m:
+            name = m.group(2)
+            qn = f"{parent.qn}.{name}"
+            props = {}
+            if pending_decorators:
+                props["decorators"] = list(pending_decorators)
+            row = {
+                "kind": "class",
+                "qn": qn,
+                "name": name,
+                "parent_qn": parent.qn,
+                "parent_kind": parent.kind.capitalize(),
+                "start_line": line_no,
+                "end_line": line_no,
+                "start_col": indent,
+                "props": json.dumps(props, sort_keys=True) if props else None,
+            }
+            def_rows.append(row)
+            open_defs.append((row, indent))
+            parent.children.add(name)
+            bases = [b.strip() for b in (m.group(3) or "").split(",") if b.strip()]
+            for bi, base in enumerate(bases):
+                base_name = base.split("=")[-1].strip()  # metaclass= noise
+                if not base_name or base_name in KEYWORDS:
+                    continue
+                mentions.append(
+                    {
+                        "kind": "inherit",
+                        "qn": qn,
+                        "name": name,
+                        "parent_qn": parent.qn,
+                        "parent_kind": parent.kind.capitalize(),
+                        "start_line": line_no,
+                        "start_col": indent,
+                        "callee": base_name,
+                        "base_index": bi,
+                    }
+                )
+            scope = _Scope(indent, "class", qn, name, line_no)
+            stack.append(scope)
+            children[qn] = scope.children
+            pending_decorators = []
+            pending_docstring_for = row
+            continue
+
+        m = _IMPORT_RE.match(line)
+        if m and not line.lstrip().startswith("from"):
+            for clause in m.group(2).split(","):
+                clause = clause.strip()
+                if not clause:
+                    continue
+                if " as " in clause:
+                    target, alias = (s.strip() for s in clause.split(" as ", 1))
+                    local, bind_target = alias, target
+                else:
+                    target = clause
+                    # `import a.b` binds root `a` (reference
+                    # import_processor.py python semantics)
+                    local, bind_target = target.split(".")[0], target.split(".")[0]
+                mentions.append(
+                    {
+                        "kind": "import",
+                        "name": None,
+                        "parent_qn": module_qn,
+                        "parent_kind": "Module",
+                        "start_line": line_no,
+                        "start_col": indent,
+                        "local_name": local,
+                        "target": target,
+                        "callee": bind_target,
+                    }
+                )
+            continue
+
+        m = _FROM_RE.match(line)
+        if m:
+            rel_dots, src_mod, names = m.group(2), m.group(3), m.group(4)
+            if rel_dots:
+                # relative import: anchor to the current module's package
+                base_parts = module_qn.split(".")
+                # one dot = current package (module's parent), each extra
+                # dot climbs one more level
+                up = len(rel_dots)
+                anchor = base_parts[: max(1, len(base_parts) - up)]
+                target_mod = ".".join(anchor + (src_mod.split(".") if src_mod else []))
+            else:
+                target_mod = src_mod
+            names = names.strip().strip("()")
+            for clause in names.split(","):
+                clause = clause.strip()
+                if not clause or clause == "*":
+                    continue
+                if " as " in clause:
+                    symbol, local = (s.strip() for s in clause.split(" as ", 1))
+                else:
+                    symbol = local = clause
+                mentions.append(
+                    {
+                        "kind": "import",
+                        "name": symbol,
+                        "parent_qn": module_qn,
+                        "parent_kind": "Module",
+                        "start_line": line_no,
+                        "start_col": indent,
+                        "local_name": local,
+                        "target": target_mod,
+                        "callee": target_mod,
+                    }
+                )
+            continue
+
+        # --- statement line: collect calls and bare references ---
+        # calls attribute to the innermost enclosing function/method/module;
+        # class-body statements attribute past the class to its enclosing
+        # scope (graph-schema: CALLS sources are Module/Function/Method)
+        caller = next(s for s in reversed(stack) if s.kind != "class")
+        seen_spans: list[tuple[int, int]] = []
+        for cm in _CALL_RE.finditer(line):
+            callee = cm.group(1)
+            first = callee.split(".")[0]
+            if first in KEYWORDS:
+                continue
+            seen_spans.append((cm.start(1), cm.end(1)))
+            call_rows.append(
+                {
+                    "kind": "call",
+                    "parent_qn": caller.qn,
+                    "parent_kind": caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": cm.start(1),
+                    "callee": callee,
+                    "_caller_stack": [s.qn for s in stack if s.kind != "class"],
+                    "_class_qn": next(
+                        (s.qn for s in reversed(stack) if s.kind == "class"), None
+                    ),
+                }
+            )
+        # bare references (identifier not followed by '(' and not part of a
+        # call's dotted path) — resolved downstream like calls but emitted
+        # as REFERENCES (reference call_processor first-class refs)
+        for im in _IDENT_RE.finditer(line):
+            name = im.group(1)
+            if name in KEYWORDS:
+                continue
+            s, e = im.start(1), im.end(1)
+            if any(cs <= s < ce for cs, ce in seen_spans):
+                continue
+            rest = line[e:].lstrip()
+            if rest.startswith("("):
+                continue
+            before = line[:s].rstrip()
+            if before.endswith("."):
+                continue
+            call_rows.append(
+                {
+                    "kind": "ref",
+                    "parent_qn": caller.qn,
+                    "parent_kind": caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": s,
+                    "callee": name,
+                    "_caller_stack": [s2.qn for s2 in stack if s2.kind != "class"],
+                    "_class_qn": next(
+                        (s2.qn for s2 in reversed(stack) if s2.kind == "class"), None
+                    ),
+                }
+            )
+
+    scope_pop_to(0, len(lines) + 1)
+    for row, _ in open_defs:
+        row["end_line"] = len(lines)
+
+    # module mention
+    mentions.insert(
+        0,
+        {
+            "kind": "module",
+            "qn": module_qn,
+            "name": module_qn.rsplit(".", 1)[-1],
+            "parent_qn": None,
+            "parent_kind": None,
+            "start_line": 1,
+            "end_line": len(lines),
+            "start_col": 0,
+        },
+    )
+    mentions.extend(def_rows)
+
+    # --- second pass: caller-sensitive hints for calls/refs -----------------
+    file_def_names = {r["name"] for r in def_rows}
+    for c in call_rows:
+        callee = c["callee"]
+        first = callee.split(".")[0]
+        stack_qns = c.pop("_caller_stack")
+        class_qn = c.pop("_class_qn")
+        if c["kind"] == "ref" and callee not in file_def_names:
+            # refs are only emitted for names defined in this file; imported
+            # callables passed by value are resolved downstream via the
+            # import-alias join on the call frame, so keep those too
+            # (conservative: drop unknown bare identifiers — variables)
+            continue
+        if "." not in callee:
+            # enclosing-scope ladder rung (call_resolver.py:347-401): walk
+            # function scopes innermost→outermost, excluding module scope
+            # (module-level siblings resolve via the same-module join rung)
+            for sq in reversed(stack_qns[1:]):
+                kids = children.get(sq)
+                if kids and callee in kids:
+                    c["enclosing_hint"] = f"{sq}.{callee}"
+                    break
+        elif first == "self" and class_qn:
+            rest = callee.split(".", 1)[1]
+            if "." not in rest:
+                # self-sibling method rung (call_resolver.py:909-912)
+                c["class_ctx_hint"] = f"{class_qn}.{rest}"
+        mentions.append(c)
+
+    return mentions

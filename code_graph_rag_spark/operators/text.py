@@ -1,0 +1,153 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has an exact ANSI-SQL
+twin in ``__spark_entry__.oracle_sql`` so the DuckDB driver can verify it
+value-for-value.
+
+Conventions shared with the oracles:
+* tokens = non-empty splits of ``trim(text)`` on ``\\s+``;
+* normalization = lowercase + collapse whitespace to single spaces;
+* 60-bit string hash = first 15 hex digits of md5, parsed base-16 (portable
+  between Spark ``conv`` and DuckDB ``::BIGINT`` on a 0x literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = "[.,!?;:]"
+
+# tiny per-language marker lexicons for the n-gram language-ID heuristic;
+# scoring = count of marker-word hits, argmax wins (ties: language order)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "de", "una"],
+}
+
+
+def norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash portable to DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (word pieces / numbers / single punctuation marks)."""
+    txt = F.col("text")
+    toks = tokens(txt)
+    bpe_ish = F.filter(
+        F.split(txt, r"(?<=[\s.,!?;:])|(?=[\s.,!?;:])"),
+        lambda t: F.trim(t) != "",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish).alias("n_bpe_tokens"),
+        F.length(txt).alias("n_chars_measured"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean token length — the standard pretraining-filter features."""
+    txt = F.col("text")
+    toks = tokens(txt)
+    n_tok = F.size(toks)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID (n-gram heuristic): per-language hit count
+    over the token set, argmax with deterministic tie-break."""
+    toks = F.transform(tokens(F.col("text")), F.lower)
+    scores = []
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: sort by (hits desc, lang asc) → first
+    best = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    ).getItem(0)
+    return documents.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: 60-bit hash of normalized text (exact-dup key)
+    plus the document's min word-shingle hash (a 1-permutation MinHash,
+    stable under small reorderings — rolling-hash style)."""
+    normed = norm_text(F.col("text"))
+    sh = shingles(F.col("text"), 3)
+    min_shingle = F.array_min(F.transform(sh, hash60))
+    return documents.select(
+        "doc_id",
+        hash60(normed).alias("content_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = tokens(norm_text(col))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    )

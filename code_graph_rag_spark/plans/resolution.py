@@ -1,0 +1,356 @@
+"""Cross-file resolution: the reference's lookup ladder re-expressed as joins.
+
+The reference resolves each import/call/base name imperatively against shared
+in-memory registries (``call_resolver.py:721-974``,
+``import_processor.py:861-1058``); here every rung is a join producing
+candidate rows tagged with a ``priority`` column, and a rank-1 window
+arbitrates — "first rung that answers wins" becomes
+``row_number() over (partition by mention order by priority)``.
+
+Scale notes: the modules/alias frames are tiny relative to call mentions, so
+every rung join is an explicit ``broadcast()`` (the north rule's broadcast
+alias dictionary) — no shuffle of the big call frame except the final
+simple-name rung, which joins on the entity name (hash-partitioned, AQE skew
+handling for hub names like ``log``/``main``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ladder priorities (mirroring the reference's rung order,
+# call_resolver.py:721-974)
+P_ENCLOSING = 1  # nested-def enclosing scope (rung 2)
+P_IMPORT = 2  # import-alias map (rung 8)
+P_SAME_MODULE = 3  # same-module exact (rung 8 tail)
+P_CLASS_CTX = 4  # self-sibling method (rung 10)
+P_SIMPLE_NAME = 9  # simple-name fallback (rung 13, trie find_ending_with)
+
+
+def _with_id(df: DataFrame, kinds: tuple[str, ...]) -> DataFrame:
+    return df.filter(F.col("kind").isin(*kinds)).withColumn(
+        "mention_id",
+        F.concat_ws(
+            "#", "doc_id", "start_line", "start_col", "callee", "kind"
+        ),
+    )
+
+
+def resolve_import_targets(refs: DataFrame, modules: DataFrame) -> DataFrame:
+    """Resolve as-written module paths to known module QNs.
+
+    ``refs``: distinct ``(project, ref)`` rows — dedup before resolving is
+    the join-world analogue of the reference's memoized resolution cache
+    (``call_resolver.py:795-825``). Strategies, in reference priority order
+    (``import_processor.py:861-1058``): exact QN → project-prefixed QN →
+    unique whole-segment suffix. Returns ``project, ref, resolved_mqn``.
+    """
+    mods = modules.select(
+        F.col("qualified_name").alias("mqn"),
+        F.element_at(F.split("qualified_name", "\\."), -1).alias("m_last"),
+    ).distinct()
+    bmods = F.broadcast(mods)
+
+    base = refs.select(
+        "project",
+        "ref",
+        F.element_at(F.split("ref", "\\."), -1).alias("ref_last"),
+    ).distinct()
+    exact = base.join(bmods, base["ref"] == mods["mqn"]).select(
+        "project", "ref", "mqn", F.lit(1).alias("prio")
+    )
+    prefixed = base.join(
+        bmods, F.concat_ws(".", base["project"], base["ref"]) == mods["mqn"]
+    ).select("project", "ref", "mqn", F.lit(2).alias("prio"))
+    # whole-segment suffix: equi-join on last segment (keeps it a hash join),
+    # verify the full dotted suffix, demand uniqueness
+    suffix = (
+        base.join(bmods, base["ref_last"] == mods["m_last"])
+        .filter(
+            (F.col("mqn") == F.col("ref"))
+            | F.col("mqn").endswith(F.concat(F.lit("."), F.col("ref")))
+        )
+        .withColumn(
+            "n_match", F.count("*").over(Window.partitionBy("project", "ref"))
+        )
+        .filter(F.col("n_match") == 1)
+        .select("project", "ref", "mqn", F.lit(3).alias("prio"))
+    )
+    cands = exact.unionByName(prefixed).unionByName(suffix)
+    w = Window.partitionBy("project", "ref").orderBy("prio", "mqn")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("project", "ref", F.col("mqn").alias("resolved_mqn"))
+    )
+
+
+def build_alias_frame(
+    mentions: DataFrame, modules: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """imports mentions → (alias frame, IMPORTS edges, ExternalModule nodes).
+
+    alias frame: (module_qn, local_name, full_qn, is_external) — the Spark
+    form of the reference's ``import_mapping[module_qn][local]``
+    (``parsers/import_processor.py:501``).
+    """
+    imp = mentions.filter(F.col("kind") == "import").withColumn(
+        "project", F.split(F.col("module_qn"), "\\.").getItem(0)
+    )
+    # resolve the *binding* target (what the local name points to) and the
+    # *edge* target (the full imported module path) with ONE pass over the
+    # distinct ref set — dedup-then-join replaces the reference's memo cache
+    refs = imp.select("project", F.col("callee").alias("ref")).unionByName(
+        imp.select("project", F.col("target").alias("ref"))
+    )
+    resolved = F.broadcast(resolve_import_targets(refs, modules))
+    bind = resolved.select(
+        "project", F.col("ref").alias("callee"), "resolved_mqn"
+    )
+    edge = resolved.select(
+        "project",
+        F.col("ref").alias("target"),
+        F.col("resolved_mqn").alias("edge_mqn"),
+    )
+    # persisted: imp2 fans out into the alias frame, internal edges,
+    # external edges, and ExternalModule nodes
+    imp2 = imp.join(bind, ["project", "callee"], "left").join(
+        edge, ["project", "target"], "left"
+    ).persist()
+
+    alias = imp2.select(
+        "module_qn",
+        "local_name",
+        F.when(
+            F.col("resolved_mqn").isNotNull() & F.col("name").isNotNull(),
+            F.concat_ws(".", "resolved_mqn", "name"),
+        )
+        .when(F.col("resolved_mqn").isNotNull(), F.col("resolved_mqn"))
+        .when(
+            F.col("name").isNotNull(), F.concat_ws(".", "callee", "name")
+        )
+        .otherwise(F.col("callee"))
+        .alias("full_qn"),
+        F.col("resolved_mqn").isNull().alias("is_external"),
+    ).dropDuplicates(["module_qn", "local_name", "full_qn"])
+
+    # IMPORTS edges: verified targets → Module, else ExternalModule
+    # (semi-join emission, import_processor.py:861-982; unresolved targets
+    # become ExternalModule nodes per graph-schema)
+    internal = (
+        imp2.filter(F.col("edge_mqn").isNotNull())
+        .select(
+            F.col("module_qn").alias("subj"),
+            F.lit("IMPORTS").alias("pred"),
+            F.col("edge_mqn").alias("obj"),
+            F.lit("Module").alias("subj_label"),
+            F.lit("Module").alias("obj_label"),
+        )
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    external = imp2.filter(F.col("edge_mqn").isNull()).select(
+        F.col("module_qn").alias("subj"),
+        F.lit("IMPORTS").alias("pred"),
+        F.col("target").alias("obj"),
+        F.lit("Module").alias("subj_label"),
+        F.lit("ExternalModule").alias("obj_label"),
+    )
+    imports_edges = internal.unionByName(external).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+    ext_nodes = external.select(
+        F.lit("ExternalModule").alias("label"),
+        F.col("obj").alias("id"),
+        F.element_at(F.split("obj", "\\."), -1).alias("name"),
+        F.lit(None).cast("string").alias("path"),
+    ).distinct()
+    return alias, imports_edges, ext_nodes
+
+
+def resolve_calls(
+    mentions: DataFrame, entities: DataFrame, alias: DataFrame
+) -> DataFrame:
+    """call/ref mentions → resolved target rows (one per variant of the
+    winning natural QN).
+
+    Output: mention_id, kind, doc_id, caller_qn, caller_label, priority,
+    target_qn (natural), target_variant (qualified_name), target_label.
+    """
+    calls = _with_id(mentions, ("call", "ref")).select(
+        "mention_id",
+        "kind",
+        "doc_id",
+        "module_qn",
+        F.col("parent_qn").alias("caller_qn"),
+        F.col("parent_kind").alias("caller_label"),
+        "callee",
+        "enclosing_hint",
+        "class_ctx_hint",
+        F.split(F.col("callee"), "\\.").getItem(0).alias("first_seg"),
+        F.when(
+            F.instr(F.col("callee"), ".") > 0,
+            F.expr("substring(callee, instr(callee, '.') + 1)"),
+        ).alias("rest"),
+    )
+
+    balias = F.broadcast(
+        alias.select(
+            F.col("module_qn").alias("a_mqn"),
+            F.col("local_name").alias("a_local"),
+            "full_qn",
+            "is_external",
+        )
+    )
+
+    key_cols = [
+        "mention_id",
+        "kind",
+        "doc_id",
+        "caller_qn",
+        "caller_label",
+        "callee",
+    ]
+
+    c1 = calls.filter(F.col("enclosing_hint").isNotNull()).select(
+        *key_cols,
+        F.col("enclosing_hint").alias("cand_qn"),
+        F.lit(P_ENCLOSING).alias("priority"),
+    )
+    internal_alias_hits = calls.join(
+        balias,
+        (calls["module_qn"] == F.col("a_mqn"))
+        & (calls["first_seg"] == F.col("a_local")),
+    )
+    c2 = internal_alias_hits.filter(~F.col("is_external")).select(
+        *key_cols,
+        F.when(
+            F.col("rest").isNotNull(),
+            F.concat_ws(".", "full_qn", "rest"),
+        )
+        .otherwise(F.col("full_qn"))
+        .alias("cand_qn"),
+        F.lit(P_IMPORT).alias("priority"),
+    )
+    c3 = calls.select(
+        *key_cols,
+        F.concat_ws(".", "module_qn", "callee").alias("cand_qn"),
+        F.lit(P_SAME_MODULE).alias("priority"),
+    ).filter(~F.col("callee").startswith("self."))
+    c4 = calls.filter(F.col("class_ctx_hint").isNotNull()).select(
+        *key_cols,
+        F.col("class_ctx_hint").alias("cand_qn"),
+        F.lit(P_CLASS_CTX).alias("priority"),
+    )
+
+    ent = entities.select(
+        F.col("qn").alias("e_qn"),
+        F.col("qualified_name").alias("target_variant"),
+        F.col("label").alias("target_label"),
+        F.col("name").alias("e_name"),
+    )
+
+    exact_cands = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    exact_hits = exact_cands.join(
+        ent, exact_cands["cand_qn"] == ent["e_qn"]
+    ).select(
+        *key_cols,
+        "priority",
+        F.col("e_qn").alias("target_qn"),
+        "target_variant",
+        "target_label",
+    )
+
+    # simple-name fallback (rung 13) — bare names only, and NEVER for a name
+    # bound to an external import in the same module (rung 11 suppression,
+    # call_resolver.py:914-947)
+    ext_bound = (
+        alias.filter(F.col("is_external"))
+        .select(
+            F.col("module_qn").alias("module_qn"),
+            F.col("local_name").alias("callee"),
+        )
+        .distinct()
+    )
+    bare = (
+        calls.filter(F.col("rest").isNull())
+        .join(F.broadcast(ext_bound), ["module_qn", "callee"], "left_anti")
+    )
+    fallback_hits = bare.join(ent, bare["callee"] == ent["e_name"]).filter(
+        F.col("target_label").isin("Function", "Method", "Class")
+    ).select(
+        *key_cols,
+        F.lit(P_SIMPLE_NAME).alias("priority"),
+        F.col("e_qn").alias("target_qn"),
+        "target_variant",
+        "target_label",
+    )
+
+    hits = exact_hits.unionByName(fallback_hits).filter(
+        # never self-edges from a mention resolving to its own caller scope
+        F.col("target_qn") != F.col("caller_qn")
+    )
+
+    # arbitration: lowest rung wins; all variants of the winning natural QN
+    # survive (a call to a duplicated name links to every variant,
+    # graph-schema "Qualified Name Uniqueness")
+    w = Window.partitionBy("mention_id").orderBy("priority", "target_qn")
+    return (
+        hits.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .dropDuplicates(["mention_id", "target_variant"])
+        .persist()  # fans out into CALLS/INSTANTIATES/ctor/REFERENCES
+    )
+
+
+def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
+    """Resolved call/ref rows → CALLS / INSTANTIATES / REFERENCES edges.
+
+    A call hitting a Class becomes INSTANTIATES plus a ctor-redirect CALLS to
+    ``Class.__init__`` when one exists (call_processor.py:3636-3696).
+    """
+    base_cols = [
+        F.col("caller_qn").alias("subj"),
+        F.col("target_variant").alias("obj"),
+        F.col("caller_label").alias("subj_label"),
+        F.col("target_label").alias("obj_label"),
+    ]
+    calls = resolved.filter(F.col("kind") == "call")
+    refs = resolved.filter(F.col("kind") == "ref")
+
+    plain = calls.filter(
+        F.col("target_label").isin("Function", "Method")
+    ).select(F.lit("CALLS").alias("pred"), *base_cols)
+    inst = calls.filter(F.col("target_label") == "Class").select(
+        F.lit("INSTANTIATES").alias("pred"), *base_cols
+    )
+    # ctor redirect
+    ctors = entities.filter(
+        (F.col("label") == "Method") & (F.col("name") == "__init__")
+    ).select(
+        F.col("parent_qn").alias("ctor_class"),
+        F.col("qualified_name").alias("ctor_qn"),
+    )
+    ctor_calls = (
+        calls.filter(F.col("target_label") == "Class")
+        .join(
+            F.broadcast(ctors),
+            F.col("target_qn") == F.col("ctor_class"),
+        )
+        .select(
+            F.lit("CALLS").alias("pred"),
+            F.col("caller_qn").alias("subj"),
+            F.col("ctor_qn").alias("obj"),
+            F.col("caller_label").alias("subj_label"),
+            F.lit("Method").alias("obj_label"),
+        )
+    )
+    ref_edges = refs.filter(
+        F.col("target_label").isin("Function", "Method", "Class")
+    ).select(F.lit("REFERENCES").alias("pred"), *base_cols)
+
+    out = plain.unionByName(inst).unionByName(ctor_calls).unionByName(ref_edges)
+    return out.select(
+        "subj", "pred", "obj", "subj_label", "obj_label"
+    ).dropDuplicates(["subj", "pred", "obj"])

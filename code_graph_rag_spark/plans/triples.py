@@ -1,0 +1,76 @@
+"""Final assembly: nodes table, edges table, phantom-drop, adjacency lists.
+
+Phantom-edge suppression: the reference relies on the graph DB silently
+dropping MERGEs against nonexistent endpoints (``import_processor.py:865-869``,
+audited by ``graph_audit.py:102-131``). We reproduce that exactly with an
+inner join of the triple frame against the node table on BOTH endpoints —
+dangling triples can never reach storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from code_graph_rag_spark.schema import MERGE_KEY_PROPS_BY_REL
+
+
+def _ensure_props(edges: DataFrame) -> DataFrame:
+    if "props" not in edges.columns:
+        edges = edges.withColumn(
+            "props", F.lit(None).cast("map<string,string>")
+        )
+    return edges
+
+
+def union_edges(*frames: DataFrame) -> DataFrame:
+    out = None
+    for f in frames:
+        f = _ensure_props(f).select(
+            "subj", "pred", "obj", "subj_label", "obj_label", "props"
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """(subj,pred,obj) dedup, except rel types whose identity includes
+    provenance props (MERGE_KEY_PROPS_BY_REL, constants/graph.py:470-472)."""
+    edges = _ensure_props(edges)
+    extra = sorted({p for ps in MERGE_KEY_PROPS_BY_REL.values() for p in ps})
+    key = [
+        F.col("subj"),
+        F.col("pred"),
+        F.col("obj"),
+        *[
+            F.when(
+                F.col("pred").isin(*MERGE_KEY_PROPS_BY_REL.keys()),
+                F.col("props").getItem(p),
+            ).alias(f"_k_{p}")
+            for p in extra
+        ],
+    ]
+    return edges.withColumn("_key", F.struct(*key)).dropDuplicates(["_key"]).drop("_key")
+
+
+def drop_phantoms(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Inner-join both endpoints against the node id set."""
+    ids = F.broadcast(nodes.select(F.col("id").alias("_nid")).distinct())
+    return (
+        edges.join(ids, edges["subj"] == F.col("_nid"), "left_semi")
+        .join(ids, edges["obj"] == F.col("_nid"), "left_semi")
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """Materialized adjacency lists per (node, direction, rel type) — the
+    Spark analogue of the reference's protobuf ID adjacency lists
+    (``codec/schema.proto:36-60``) and the JSON loader's in/out indexes
+    (``graph_loader.py:48-146``)."""
+    out = edges.groupBy(F.col("subj").alias("node"), "pred").agg(
+        F.sort_array(F.collect_list("obj")).alias("neighbors")
+    ).withColumn("direction", F.lit("out"))
+    inn = edges.groupBy(F.col("obj").alias("node"), "pred").agg(
+        F.sort_array(F.collect_list("subj")).alias("neighbors")
+    ).withColumn("direction", F.lit("in"))
+    return out.unionByName(inn)

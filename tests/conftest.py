@@ -1,0 +1,45 @@
+"""Shared Spark session + built fixture graphs (expensive → session scope)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from code_graph_rag_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # AQE off for tiny fixtures: per-stage re-planning dominates at this
+    # scale; the bench/scale path (bench.py) runs with AQE on.
+    s = get_spark(
+        cores=8,
+        shuffle_partitions=2,
+        app_name="cgr_spark_tests",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def slice0_graph(spark):
+    from code_graph_rag_spark.fixtures import slice0
+    from code_graph_rag_spark.pipeline import build_graph
+
+    return build_graph(slice0(spark))
+
+
+@pytest.fixture(scope="session")
+def polyglot_graph(spark):
+    from code_graph_rag_spark.fixtures import polyglot
+    from code_graph_rag_spark.pipeline import build_graph
+
+    return build_graph(polyglot(spark))
+
+
+def triples(graph) -> set[tuple[str, str, str]]:
+    return {(r.subj, r.pred, r.obj) for r in graph.edges.collect()}

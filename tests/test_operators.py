@@ -1,0 +1,154 @@
+"""Operator tests: text analysis, dedup, similarity, multimodal plumbing.
+
+These run on tiny in-memory frames (fast); the sf0.01 DuckDB-oracle parity
+is the driver's CORRECTNESS gate via ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en", "a", 22),
+        (2, "the cat sat on the mat", "en", "b", 22),  # exact dup of 1
+        (3, "the cat sat on the red mat", "en", "c", 26),  # near dup
+        (4, "le chat est sur le tapis et la table", "fr", "d", 37),
+        (5, "completely different text about spark pipelines", "en", "e", 48),
+        (6, "", "en", "f", 0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_token_stats(docs):
+    from code_graph_rag_spark.operators.text import token_stats
+
+    out = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert out[1] == 6
+    assert out[6] == 0
+
+
+def test_quality_and_langid(docs):
+    from code_graph_rag_spark.operators.text import language_id, quality_score
+
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[6].quality <= q[1].quality
+    assert 0.0 <= q[1].stopword_ratio <= 1.0
+    langs = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[4] == "fr"
+
+
+def test_exact_duplicates(docs):
+    from code_graph_rag_spark.operators.dedup import (
+        dedup_keep_first,
+        exact_duplicates,
+    )
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2]
+    assert groups[0].keeper == 1
+    kept = {r.doc_id for r in dedup_keep_first(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_ngram_jaccard(docs):
+    from code_graph_rag_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    assert all(a != 5 and b != 5 for a, b in pairs)
+
+
+def test_minhash_lsh(docs):
+    from code_graph_rag_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.sig_agree
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # identical docs always collide
+
+
+def test_simhash(docs):
+    from code_graph_rag_spark.operators.dedup import simhash
+
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    ham15 = bin(out[1] ^ out[5]).count("1")
+    assert ham13 < ham15  # near dup closer than unrelated
+
+
+def test_brute_force_topk(spark):
+    from code_graph_rag_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, q_embedding array<float>"
+    )
+    rows = brute_force_topk(corpus, queries, k=2).collect()
+    assert rows[0].vec_id == 0 and abs(rows[0].cosine - 1.0) < 1e-6
+    assert len(rows) == 2
+
+
+def test_lsh_topk_matches_bruteforce_top1(spark):
+    from code_graph_rag_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [math.sin(i * 1.3 + j) for j in range(8)])
+            for i in range(50)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    bf = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.vec_id
+        for r in lsh_topk(corpus, queries, dim=8, k=1).collect()
+    }
+    # a query vector is in its own bucket → top-1 must be itself
+    assert approx == bf
+
+
+def test_multimodal_plumbing(spark):
+    from code_graph_rag_spark.fixtures import polyglot
+    from code_graph_rag_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(polyglot(spark))
+    feats = extract_features(media).collect()
+    assert len(feats) == 1
+    f0 = feats[0]
+    assert f0.media_id == "assets/shape-diagram.png"
+    assert f0.n_bytes == len(b"assets/shape-diagram.png")
+    assert len(f0.features) == 8
+    # deterministic fake decoder
+    again = extract_features(media).collect()[0]
+    assert again.features == f0.features
