@@ -106,6 +106,42 @@ def kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shallow_graph(spark: SparkSession):
+    """Smaller corpus for iteration-bounded read-path queries: the 30-doc
+    ring corpus has call chains ~n_docs deep, which makes frontier-BFS
+    wall time O(docs) at toy scale (fine at cluster scale where each
+    frontier is massive, wasteful here)."""
+    key = "synth8"
+    if key not in _GRAPH_CACHE:
+        from code_graph_rag_spark.fixtures import synth_corpus
+        from code_graph_rag_spark.pipeline import build_graph
+
+        _GRAPH_CACHE[key] = build_graph(
+            synth_corpus(spark, 8, funcs_per_doc=3, pkg_fanout=3)
+        )
+    return _GRAPH_CACHE[key]
+
+
+def kg_dead_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-code reachability (client-side BFS analogue, dead_code.py)."""
+    from code_graph_rag_spark.queries import dead_code
+
+    g = _shallow_graph(spark)
+    return dead_code(g.nodes, g.edges)
+
+
+def kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking (MinHash-LSH over QN shingles) + salted-CC
+    canonicalization over the synth graph's entities (north-rule stage)."""
+    from code_graph_rag_spark.linking import canonicalize_entities
+
+    g = _synth_graph(spark)
+    ents = g.nodes.filter(
+        F.col("label").isin("Function", "Method", "Class", "Module")
+    ).select(F.col("id").alias("qualified_name"))
+    return canonicalize_entities(ents, min_agreement=0.95).orderBy("entity_id")
+
+
 # ---------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables (DuckDB-verified)
 # ---------------------------------------------------------------------------
@@ -395,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": kg_adjacency,
         "kg_callers_of": kg_callers_of,
         "kg_stats": kg_stats,
+        "kg_dead_code": kg_dead_code,
+        "kg_canonicalize": kg_canonicalize,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports the KG-construction throughput (triples/sec over a
+deterministic synthetic interleaved-span corpus — BASELINE.json metric) and,
+with SPARK_GRAFT_SCALING=1, the local[N] vs local[4N] scaling efficiency
+(sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2000"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "window_topk_orders",
+    "agg_rollup_nation",
+    "events_hourly",
+    "events_sessionize",
+    "text_quality",
+    "text_langid",
+    "dedup_exact_groups",
+    "dedup_minhash_sigs",
+    "dedup_lsh_candidates",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench(cores: int, include_queries: bool = True) -> dict:
+    from code_graph_rag_spark.fixtures import synth_corpus
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(cores=cores, app_name=f"bench_{cores}")
+    # warm the JVM/Python workers so measurements are steady-state
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    # --- KG construction throughput (the BASELINE.json metric) ---
+    docs = synth_corpus(spark, KG_DOCS).persist()
+    n_docs = docs.count()
+    t0 = time.time()
+    g = build_graph(docs)
+    n_triples = g.edges.count()
+    kg_secs = time.time() - t0
+    timings["kg_build"] = round(kg_secs, 2)
+    g.unpersist()
+    docs.unpersist()
+
+    if include_queries:
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _noop_write(qs[name](spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 2)
+
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "kg_secs": round(kg_secs, 2),
+        "triples_per_sec": round(n_triples / kg_secs, 1),
+        "queries": timings,
+    }
+
+
+def main() -> None:
+    result = run_bench(CPUS)
+    total = round(sum(result["queries"].values()), 2)
+    out = {
+        "metric": "triples_per_sec_kg_build",
+        "value": result["triples_per_sec"],
+        "unit": "triples/sec",
+        "queries": result["queries"],
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "total_query_sec": total,
+        "n_triples": result["n_triples"],
+        "kg_docs": result["n_docs"],
+        "cores": CPUS,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        small = run_bench(max(CPUS // 4, 1), include_queries=False)
+        # scaling efficiency between N and 4N cores on identical input
+        speedup = small["kg_secs"] / result["kg_secs"]
+        out["scaling"] = {
+            "cores_small": small["cores"],
+            "cores_large": CPUS,
+            "kg_secs_small": small["kg_secs"],
+            "kg_secs_large": result["kg_secs"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / 4.0, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

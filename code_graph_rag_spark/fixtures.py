@@ -169,6 +169,8 @@ POLYGLOT_EXPECTED = {
     # to poly.ext.get (suppression rung) → no CALLS edge for it
     ("poly.ext", "IMPORTS", "requests"),
     ("poly.ext", "IMPORTS", "poly.shapes"),
+    ("poly.ext", "DEFINES", "poly.ext.get"),
+    ("poly.ext", "DEFINES", "poly.ext.fetch"),
     ("poly.ext.fetch", "INSTANTIATES", "poly.shapes.Circle"),
     # nested defs: enclosing-scope rung wins inside outer(); module-level
     # call binds the module-level helper
@@ -229,7 +231,13 @@ def synth_corpus_rows(
             f"import synth.pkg{sib2 % pkg_fanout:03d}.mod{sib2:05d}\n"
             "import numpy\n"
         )
-        body = [imports, f"class C{i % 97}:\n    def run(self):\n        return self.step()\n    def step(self):\n        return 1\n\n"]
+        body = [
+            imports,
+            # inheritance + override per module: exercises the INHERITS
+            # resolution and the OVERRIDES BFS in every bench run
+            f"class B{i % 7}:\n    def run(self):\n        return 0\n    def step(self):\n        return 1\n\n",
+            f"class C{i % 97}(B{i % 7}):\n    def run(self):\n        return self.step()\n    def step(self):\n        return 1\n\n",
+        ]
         for f_i in range(funcs_per_doc):
             callee = f"fn_{(f_i + 1) % funcs_per_doc}"
             body.append(

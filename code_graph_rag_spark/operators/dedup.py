@@ -140,7 +140,7 @@ def lsh_candidate_pairs(
                 lambda x: x,
             )
         ).cast("double")
-        / F.lit(float(16 if k == 16 else k))
+        / F.lit(float(k))
     )
     return pairs.select(
         "doc_a", "doc_b", F.round(agree, 6).alias("sig_agree")

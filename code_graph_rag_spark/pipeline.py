@@ -17,6 +17,8 @@ same lifecycle is one declarative lineage:
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -120,7 +122,7 @@ def _pad_nodes(df: DataFrame) -> DataFrame:
     return df.select(*_NODE_COLS)
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, tag: str = "") -> DataFrame:
     """Stage boundary: materialize + truncate lineage.
 
     Each fan-out frame (mentions, entities, alias, inherits) is consumed by
@@ -131,7 +133,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     ~50 s of driver-side optimization for <1 s of execution). On a cluster
     this is the per-stage checkpoint of the north rule; swapping in a
     reliable checkpoint dir / parquet stage table is a one-liner."""
-    return df.localCheckpoint(eager=True)
+    t0 = time.time()
+    out = df.localCheckpoint(eager=True)
+    if os.environ.get("CGR_DEBUG_TIMING"):
+        print(f"[cgr-timing] {tag or 'stage'}: {time.time() - t0:.1f}s", flush=True)
+    return out
 
 
 def build_graph(
@@ -139,10 +145,27 @@ def build_graph(
     groups: tuple[str, ...] = DEFAULT_GROUPS,
     partitions: int | None = None,
 ) -> GraphResult:
-    mentions = _materialize(
-        disambiguate_modules(extract_mentions(documents, partitions))
-    )
-    entities = _materialize(mint_entities(mentions))
+    return build_graph_from_mentions(extract_mentions(documents, partitions), groups)
+
+
+def build_graph_from_mentions(
+    raw_mentions: DataFrame,
+    groups: tuple[str, ...] = DEFAULT_GROUPS,
+) -> GraphResult:
+    """Disambiguation + resolution + assembly over an existing (raw,
+    pre-disambiguation) mentions frame.
+
+    Split out so the incremental path (``incremental.py``) can splice
+    re-extracted mentions for changed docs into the persisted mention table
+    and rerun only the join phase — extraction (the dominant cost at scale)
+    is never repeated for unchanged documents, and incremental ≡ full
+    rebuild holds by construction (same mentions → same graph).
+    Disambiguation runs here because it is cross-document (collision window
+    over all module QNs).
+    """
+    mentions = _materialize(disambiguate_modules(raw_mentions), "mentions")
+    documents = mentions.select("doc_id").distinct()
+    entities = _materialize(mint_entities(mentions), "entities")
     modules = entities.filter(F.col("label") == "Module").select(
         "qualified_name", "doc_id", "qn"
     )
@@ -179,14 +202,14 @@ def build_graph(
 
     # ---- imports / alias dictionary ----
     alias, import_edges, ext_imp_nodes = build_alias_frame(mentions, modules)
-    alias = _materialize(alias)  # consumed by calls + inherits branches
+    alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
     # ---- calls / refs ----
     resolved = resolve_calls(mentions, entities, alias)
     call_e = call_edges(resolved, entities)
 
     # ---- type edges ----
-    inh_e = _materialize(resolve_inherits(mentions, entities, alias))
+    inh_e = _materialize(resolve_inherits(mentions, entities, alias), "inherits")
     ovr_e = override_edges(entities, inh_e)
 
     # ---- assembly ----
@@ -197,10 +220,13 @@ def build_graph(
         .unionByName(_pad_nodes(ext_nodes))
         .dropDuplicates(["label", "id"])
     )
-    nodes = _materialize(nodes)
+    # nodes/edges trees are shallow once the fan-out frames above are
+    # checkpointed → plain lazy persist (no extra materialization pass);
+    # Catalyst cost stays bounded and the first caller action computes once.
+    nodes = nodes.persist()
     edges = union_edges(
         struct_edges, mod_edges, defines, import_edges, call_e, inh_e, ovr_e
     )
     edges = edges.filter(F.col("pred").isin(*sorted(enabled_rels(groups))))
-    edges = _materialize(drop_phantoms(dedup_edges(edges), nodes))
+    edges = drop_phantoms(dedup_edges(edges), nodes).persist()
     return GraphResult(nodes=nodes, edges=edges, mentions=mentions, entities=entities)

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default page size derives from driver memory/cores and lands at
+        # 64 MiB here — every BroadcastHashJoin build then allocates+zeroes
+        # a 64 MiB page (measured: seconds per broadcast on this box, dozens
+        # of broadcasts per pipeline). 4 MiB pages cost nothing at our row
+        # widths and cut the per-join fixed cost ~10x.
+        .config("spark.buffer.pageSize", "4m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

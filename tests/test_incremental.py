@@ -1,0 +1,157 @@
+"""Incremental ≡ full rebuild (the reference's eval oracle,
+``evals/README.md:153-217``), resume-from-stage, and canonicalization."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def _doc(doc_id, text):
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "code", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+@pytest.fixture()
+def store_dir():
+    d = tempfile.mkdtemp(prefix="cgr_stages_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+V1 = [
+    _doc("inc/__init__.py", ""),
+    _doc("inc/a.py", "def fa():\n    pass\n"),
+    _doc("inc/b.py", "from a import fa\n\ndef fb():\n    fa()\n"),
+    _doc("inc/c.py", "def fc():\n    pass\n"),
+]
+# edit: b.py gains a call; c.py deleted; d.py added
+V2 = [
+    _doc("inc/__init__.py", ""),
+    _doc("inc/a.py", "def fa():\n    pass\n"),
+    _doc("inc/b.py", "from a import fa\n\ndef fb():\n    fa()\n    fa()\n"),
+    _doc("inc/d.py", "from b import fb\n\ndef fd():\n    fb()\n"),
+]
+
+
+def _triples(g):
+    return {(r.subj, r.pred, r.obj) for r in g.edges.collect()}
+
+
+def test_incremental_equals_full_rebuild(spark, store_dir):
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+    from code_graph_rag_spark.pipeline import build_graph
+
+    store = StageStore(store_dir)
+    g1, stats1 = incremental_build(spark, _docs(spark, V1), store)
+    assert stats1["mode"] == "full"
+    base = _triples(g1)
+    assert ("inc.b.fb", "CALLS", "inc.a.fa") in base
+
+    g2, stats2 = incremental_build(spark, _docs(spark, V2), store)
+    assert stats2["mode"] == "incremental"
+    assert stats2["changed"] == 2  # b.py edited, d.py new
+    assert stats2["deleted"] == 1  # c.py gone
+
+    clean = build_graph(_docs(spark, V2))
+    assert _triples(g2) == _triples(clean)
+    assert {(r.label, r.id) for r in g2.nodes.collect()} == {
+        (r.label, r.id) for r in clean.nodes.collect()
+    }
+    # deleted file's subtree is gone
+    assert not any("inc.c" in t[0] or "inc.c" in t[2] for t in _triples(g2))
+
+
+def test_noop_edit_shortcircuits(spark, store_dir):
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+
+    store = StageStore(store_dir)
+    incremental_build(spark, _docs(spark, V1), store)
+    g, stats = incremental_build(spark, _docs(spark, V1), store)
+    assert stats["mode"] == "noop"
+    assert ("inc.b.fb", "CALLS", "inc.a.fa") in _triples(g)
+
+
+def test_lineage_written(spark, store_dir):
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+
+    store = StageStore(store_dir)
+    incremental_build(spark, _docs(spark, V1), store)
+    lin = store.lineage()
+    for stage in ("doc_hashes", "mentions", "nodes", "edges"):
+        assert stage in lin and lin[stage]["rows"] > 0
+        assert "secs" in lin[stage]
+
+
+def test_resume_from_mentions_stage(spark, store_dir):
+    """A run killed after the mentions stage resumes without re-extracting."""
+    from code_graph_rag_spark.extract.mentions import extract_mentions
+    from code_graph_rag_spark.incremental import (
+        StageStore,
+        doc_hashes,
+        incremental_build,
+    )
+
+    store = StageStore(store_dir)
+    docs = _docs(spark, V1)
+    store.write_stage("doc_hashes", doc_hashes(docs))
+    store.write_stage("mentions", extract_mentions(docs))
+    g, stats = incremental_build(spark, docs, store)
+    assert stats["mode"] == "noop"  # hashes match → join phase only
+    assert ("inc.b.fb", "CALLS", "inc.a.fa") in _triples(g)
+
+
+def test_canonicalization_linking(spark):
+    """MinHash-LSH linking + salted CC merges near-identical QNs."""
+    from code_graph_rag_spark.linking import (
+        canonicalize_entities,
+        connected_components,
+        rewrite_edges_canonical,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            ("pkg.module.StoreManager",),
+            ("pkg.module_v2.StoreManager",),
+            ("pkg.module.StoreManagers",),  # different simple name → kept
+            ("zzz.unrelated.Thing",),
+        ],
+        "qualified_name string",
+    )
+    mapping = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize_entities(ents, min_agreement=0.4).collect()
+    }
+    # same simple name + near-identical path → merged
+    canon = {mapping["pkg.module.StoreManager"]}
+    assert mapping["pkg.module_v2.StoreManager"] in canon
+    # verification gate: a DIFFERENT simple name never merges, no matter how
+    # close the shingles are (prevents method↔module over-merging)
+    assert mapping["pkg.module.StoreManagers"] == "pkg.module.StoreManagers"
+    assert mapping["zzz.unrelated.Thing"] == "zzz.unrelated.Thing"
+
+    # CC on an explicit chain a-b, b-c, d-e
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string"
+    )
+    cc = {r.entity_id: r.canonical_id for r in connected_components(pairs).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    edges = spark.createDataFrame(
+        [("b", "CALLS", "e", "Function", "Function")],
+        "subj string, pred string, obj string, subj_label string, obj_label string",
+    )
+    cc_df = connected_components(pairs)
+    rewritten = rewrite_edges_canonical(edges, cc_df.withColumnRenamed("canonical_id", "canonical_id")).collect()
+    assert [(r.subj, r.obj) for r in rewritten] == [("a", "d")]

@@ -1,0 +1,116 @@
+"""Read-path (dead-code reachability) and streaming watch mode."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+import pytest
+
+
+def test_dead_code(spark):
+    """Reachability starts at Module nodes (module-level code), dunder,
+    decorated and test symbols — callees of live code survive, the rest is
+    dead (reference dead_code.py root selection)."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.queries import dead_code
+    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+
+    src = (
+        "def main():\n    work()\n\n"
+        "def work():\n    helper()\n\n"
+        "def helper():\n    pass\n\n"
+        "def unused():\n    also_unused()\n\n"
+        "def also_unused():\n    pass\n\n"
+        "@entrypoint\ndef decorated_root():\n    pass\n\n"
+        "main()\n"  # module-level call → main is reachable from the Module
+    )
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "dc/app.py",
+                "spans": [
+                    {"kind": "code", "text": src, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs)
+    dead = {r.id for r in dead_code(g.nodes, g.edges).collect()}
+    assert "dc.app.main" not in dead  # module-level call roots it
+    assert "dc.app.work" not in dead
+    assert "dc.app.helper" not in dead  # transitively alive
+    assert "dc.app.decorated_root" not in dead  # decorator root
+    assert "dc.app.unused" in dead
+    assert "dc.app.also_unused" in dead  # only called from dead code
+    g.unpersist()
+
+
+def test_reachable_frontier(spark):
+    from code_graph_rag_spark.queries import reachable
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "CALLS", "b"),
+            ("b", "CALLS", "c"),
+            ("x", "CALLS", "y"),
+            ("c", "OVERRIDES", "base_c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    roots = spark.createDataFrame([("a",)], "id string")
+    got = {r.id for r in reachable(edges, roots).collect()}
+    assert got == {"a", "b", "c", "base_c"}  # overrides revive targets
+
+
+@pytest.mark.slow
+def test_watch_mode_micro_batches(spark):
+    from code_graph_rag_spark.incremental import StageStore
+    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+    from code_graph_rag_spark.streaming.watch import watch_documents
+
+    in_dir = tempfile.mkdtemp(prefix="cgr_stream_in_")
+    store_dir = tempfile.mkdtemp(prefix="cgr_stream_store_")
+    results = []
+
+    def on_batch(graph, stats, epoch):
+        results.append(
+            (stats["mode"], {(r.subj, r.pred, r.obj) for r in graph.edges.collect()})
+        )
+
+    def drop(doc_id, text, name):
+        df = spark.createDataFrame(
+            [
+                {
+                    "doc_id": doc_id,
+                    "spans": [
+                        {"kind": "code", "text": text, "media_ref": "", "offset": 0}
+                    ],
+                }
+            ],
+            schema=DOCUMENTS_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        _ = name
+
+    drop("w/a.py", "def fa():\n    pass\n", "first")
+    q = watch_documents(
+        spark, in_dir, StageStore(store_dir), trigger_seconds=1, on_batch=on_batch
+    )
+    try:
+        q.processAllAvailable()
+        drop("w/b.py", "from a import fa\n\ndef fb():\n    fa()\n", "second")
+        q.processAllAvailable()
+        deadline = time.time() + 60
+        while len(results) < 2 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    assert len(results) >= 2
+    final_triples = results[-1][1]
+    assert ("w.b.fb", "CALLS", "w.a.fa") in final_triples
