@@ -47,7 +47,7 @@ def _noop_write(df) -> int:
 
 
 def run_bench(cores: int, include_queries: bool = True) -> dict:
-    from code_graph_rag_spark.fixtures import synth_corpus
+    from code_graph_rag_spark.fixtures import synth_corpus_distributed
     from code_graph_rag_spark.pipeline import build_graph
     from code_graph_rag_spark.session import get_spark
 
@@ -60,7 +60,9 @@ def run_bench(cores: int, include_queries: bool = True) -> dict:
     timings: dict[str, float] = {}
 
     # --- KG construction throughput (the BASELINE.json metric) ---
-    docs = synth_corpus(spark, KG_DOCS).persist()
+    # corpus generated on executors and persisted BEFORE timing starts, so
+    # kg_secs measures the engine only
+    docs = synth_corpus_distributed(spark, KG_DOCS).persist()
     n_docs = docs.count()
     t0 = time.time()
     g = build_graph(docs)

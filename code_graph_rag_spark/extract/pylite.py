@@ -41,7 +41,22 @@ KEYWORDS = frozenset(
 )
 
 _DEF_RE = re.compile(r"^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(")
-_CLASS_RE = re.compile(r"^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:")
+_CLASS_RE = re.compile(
+    r"^(\s*)(class|interface|enum)\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:"
+)
+_SUPER_RE = re.compile(r"(?<![\w.])super\s*\(\s*\)\s*\.\s*([A-Za-z_]\w*)\s*\(")
+_LAMBDA_RE = re.compile(r"(?<!\w)lambda[\s:]")
+_ALL_RE = re.compile(
+    r"^__all__\s*(?:\:[^=]+)?=\s*[\[\(](.*?)[\]\)]", re.MULTILINE | re.DOTALL
+)
+_REQ_RE = re.compile(r"^\s*([A-Za-z_][\w.\-]*)\s*(?:[=<>!~]=+\s*([\w.*]+))?\s*$")
+_PKGJSON_DEP_RE = re.compile(r'^\s*"([^"]+)"\s*:\s*"([^"]*)"\s*,?\s*$')
+
+MANIFEST_FILES = {
+    "requirements.txt": "requirements",
+    "pyproject.toml": "pyproject",
+    "package.json": "package_json",
+}
 _IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
 _FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
 _DECOR_RE = re.compile(r"^(\s*)@\s*([\w.]+)")
@@ -109,15 +124,91 @@ def _strip_strings_and_comments(line: str) -> str:
     return "".join(out)
 
 
+def _parse_manifest(doc_id: str, text: str, flavor: str) -> list[dict]:
+    """Dependency manifests → ``dependency`` mentions (name, version prop)."""
+    project = doc_id.split("/")[0]
+    out: list[dict] = []
+    in_dep_block = flavor != "package_json"
+    for idx, raw in enumerate(text.split("\n")):
+        line = raw.strip()
+        if not line or line.startswith(("#", "//")):
+            continue
+        if flavor == "package_json":
+            if line.startswith('"dependencies"') or line.startswith(
+                '"devDependencies"'
+            ):
+                in_dep_block = True
+                continue
+            if line.startswith(("}", "]")):
+                in_dep_block = False
+                continue
+            m = _PKGJSON_DEP_RE.match(line)
+            if in_dep_block and m:
+                out.append(
+                    {
+                        "kind": "dependency",
+                        "name": m.group(1),
+                        "parent_qn": project,
+                        "parent_kind": "Project",
+                        "start_line": idx + 1,
+                        "props": json.dumps({"version_spec": m.group(2)}),
+                    }
+                )
+            continue
+        if flavor == "pyproject":
+            if line.startswith("["):
+                in_dep_block = "dependencies" in line
+                continue
+            line = line.strip('",')
+        m = _REQ_RE.match(line)
+        if in_dep_block and m and m.group(1) not in ("name", "version"):
+            out.append(
+                {
+                    "kind": "dependency",
+                    "name": m.group(1),
+                    "parent_qn": project,
+                    "parent_kind": "Project",
+                    "start_line": idx + 1,
+                    "props": json.dumps({"version_spec": m.group(2) or ""}),
+                }
+            )
+    return out
+
+
 def parse_document(doc_id: str, code_text: str) -> list[dict]:
     """Parse one document's concatenated code text into mention rows.
 
     Returns a list of dicts matching ``schema.MENTIONS_SCHEMA`` (without
     doc_id/module_qn, filled by the caller).
     """
+    basename = doc_id.rsplit("/", 1)[-1]
+    if basename in MANIFEST_FILES:
+        # dependency-manifest source (reference definition_processor.py:
+        # 451-478, parsers/dependency_parser.py): no Module node, only
+        # dependency mentions → Project DEPENDS_ON_EXTERNAL ExternalPackage
+        return _parse_manifest(doc_id, code_text, MANIFEST_FILES[basename])
+
     module_qn, project = module_qn_for(doc_id)
     lines = code_text.split("\n")
     mentions: list[dict] = []
+
+    # module exports: __all__ = [...] — whole-text scan so multiline lists
+    # work (reference is_exported/EXPORTS semantics)
+    for am in _ALL_RE.finditer(code_text):
+        all_line = code_text.count("\n", 0, am.start()) + 1
+        for part in am.group(1).split(","):
+            sym = part.strip().strip("'\"")
+            if sym and re.fullmatch(r"[A-Za-z_]\w*", sym):
+                mentions.append(
+                    {
+                        "kind": "export",
+                        "name": sym,
+                        "parent_qn": module_qn,
+                        "parent_kind": "Module",
+                        "start_line": all_line,
+                        "start_col": 0,
+                    }
+                )
 
     module_scope = _Scope(-1, "module", module_qn, module_qn.rsplit(".", 1)[-1], 1)
     stack: list[_Scope] = [module_scope]
@@ -216,13 +307,14 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
 
         m = _CLASS_RE.match(line)
         if m:
-            name = m.group(2)
+            kw = m.group(2)  # class | interface | enum
+            name = m.group(3)
             qn = f"{parent.qn}.{name}"
             props = {}
             if pending_decorators:
                 props["decorators"] = list(pending_decorators)
             row = {
-                "kind": "class",
+                "kind": kw,
                 "qn": qn,
                 "name": name,
                 "parent_qn": parent.qn,
@@ -235,7 +327,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             def_rows.append(row)
             open_defs.append((row, indent))
             parent.children.add(name)
-            bases = [b.strip() for b in (m.group(3) or "").split(",") if b.strip()]
+            bases = [b.strip() for b in (m.group(4) or "").split(",") if b.strip()]
             for bi, base in enumerate(bases):
                 base_name = base.split("=")[-1].strip()  # metaclass= noise
                 if not base_name or base_name in KEYWORDS:
@@ -331,11 +423,49 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         # class-body statements attribute past the class to its enclosing
         # scope (graph-schema: CALLS sources are Module/Function/Method)
         caller = next(s for s in reversed(stack) if s.kind != "class")
+        cls_scope = next((s.qn for s in reversed(stack) if s.kind == "class"), None)
+
+        # anonymous functions: lambda_<line>_<col> (function_ingest.py:
+        # 1160-1163); attached by DEFINES to the enclosing scope
+        for lm in _LAMBDA_RE.finditer(line):
+            lname = f"lambda_{line_no}_{lm.start()}"
+            def_rows.append(
+                {
+                    "kind": "function",
+                    "qn": f"{caller.qn}.{lname}",
+                    "name": lname,
+                    "parent_qn": caller.qn,
+                    "parent_kind": caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "end_line": line_no,
+                    "start_col": lm.start(),
+                    "props": None,
+                }
+            )
+
+        # super().m() dispatch (call_resolver.py:830-831): resolved against
+        # the enclosing class's ancestor chain by a closure join downstream
+        for sm in _SUPER_RE.finditer(line):
+            if cls_scope:
+                call_rows.append(
+                    {
+                        "kind": "call",
+                        "parent_qn": caller.qn,
+                        "parent_kind": caller.kind.capitalize(),
+                        "start_line": line_no,
+                        "start_col": sm.start(),
+                        "callee": f"super().{sm.group(1)}",
+                        "super_hint": cls_scope,
+                        "_caller_stack": [],
+                        "_class_qn": cls_scope,
+                    }
+                )
+
         seen_spans: list[tuple[int, int]] = []
         for cm in _CALL_RE.finditer(line):
             callee = cm.group(1)
             first = callee.split(".")[0]
-            if first in KEYWORDS:
+            if first in KEYWORDS or first == "super":
                 continue
             seen_spans.append((cm.start(1), cm.end(1)))
             call_rows.append(

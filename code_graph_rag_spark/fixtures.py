@@ -130,6 +130,25 @@ POLYGLOT_DOCS = [
             "def top():\n    helper()\n"
         ),
     ),
+    # interface/enum kinds, IMPLEMENTS, super() dispatch, inherited self-call
+    _doc(
+        "poly/render.py",
+        code(
+            "interface Renderable:\n    def render(self):\n        pass\n\n"
+            "enum Color:\n    RED = 1\n\n"
+            "class Disk(Renderable):\n    def render(self):\n        return 1\n\n"
+            "class BigDisk(Disk):\n"
+            "    def render(self):\n        return super().render()\n"
+            "    def draw(self):\n        return self.render()\n"
+        ),
+    ),
+    # __all__ exports
+    _doc(
+        "poly/pub.py",
+        code("__all__ = ['visible']\n\ndef visible():\n    pass\n\ndef hidden():\n    pass\n"),
+    ),
+    # dependency manifest
+    _doc("poly/requirements.txt", code("numpy==1.26\nrequests>=2.0\n")),
 ]
 
 # Hand-derived from the reference's documented semantics (each rule cited in
@@ -181,6 +200,30 @@ POLYGLOT_EXPECTED = {
     ("poly.nested.outer", "CALLS", "poly.nested.outer.helper"),
     ("poly.nested.top", "CALLS", "poly.nested.helper"),
     ("poly.nested.outer", "REFERENCES", "poly.nested.outer.helper"),
+    # interface/enum entities, IMPLEMENTS vs INHERITS split
+    ("poly.render", "DEFINES", "poly.render.Renderable"),
+    ("poly.render", "DEFINES", "poly.render.Color"),
+    ("poly.render", "DEFINES", "poly.render.Disk"),
+    ("poly.render", "DEFINES", "poly.render.BigDisk"),
+    ("poly.render.Renderable", "DEFINES_METHOD", "poly.render.Renderable.render"),
+    ("poly.render.Disk", "DEFINES_METHOD", "poly.render.Disk.render"),
+    ("poly.render.BigDisk", "DEFINES_METHOD", "poly.render.BigDisk.render"),
+    ("poly.render.BigDisk", "DEFINES_METHOD", "poly.render.BigDisk.draw"),
+    ("poly.render.Disk", "IMPLEMENTS", "poly.render.Renderable"),
+    ("poly.render.BigDisk", "INHERITS", "poly.render.Disk"),
+    # overrides through interface and superclass
+    ("poly.render.Disk.render", "OVERRIDES", "poly.render.Renderable.render"),
+    ("poly.render.BigDisk.render", "OVERRIDES", "poly.render.Disk.render"),
+    # super() dispatch → nearest base method; self-call → own method
+    ("poly.render.BigDisk.render", "CALLS", "poly.render.Disk.render"),
+    ("poly.render.BigDisk.draw", "CALLS", "poly.render.BigDisk.render"),
+    # __all__ exports
+    ("poly.pub", "DEFINES", "poly.pub.visible"),
+    ("poly.pub", "DEFINES", "poly.pub.hidden"),
+    ("poly.pub", "EXPORTS", "poly.pub.visible"),
+    # dependency manifest
+    ("poly", "DEPENDS_ON_EXTERNAL", "numpy"),
+    ("poly", "DEPENDS_ON_EXTERNAL", "requests"),
 }
 
 # triples our engine must NOT emit (suppression / precision checks)
@@ -188,6 +231,11 @@ POLYGLOT_FORBIDDEN = {
     ("poly.ext.fetch", "CALLS", "poly.ext.get"),
     ("poly.nested.outer", "CALLS", "poly.nested.helper"),
     ("poly.nested.top", "CALLS", "poly.nested.outer.helper"),
+    # super() must skip the own class; self-call must prefer the own class
+    ("poly.render.BigDisk.render", "CALLS", "poly.render.BigDisk.render"),
+    ("poly.render.BigDisk.draw", "CALLS", "poly.render.Disk.render"),
+    # non-__all__ symbols are not exported
+    ("poly.pub", "EXPORTS", "poly.pub.hidden"),
 }
 
 
@@ -209,52 +257,91 @@ def polyglot(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _synth_module_doc(
+    i: int, n_docs: int, funcs_per_doc: int, pkg_fanout: int
+) -> dict:
+    p = i % pkg_fanout
+    sib1 = (i + 1) % n_docs
+    sib2 = (i + 7) % n_docs
+    name = f"mod{i:05d}"
+    imports = (
+        f"from synth.pkg{sib1 % pkg_fanout:03d}.mod{sib1:05d} import fn_0\n"
+        f"import synth.pkg{sib2 % pkg_fanout:03d}.mod{sib2:05d}\n"
+        "import numpy\n"
+    )
+    body = [
+        imports,
+        # inheritance + override per module: exercises the INHERITS
+        # resolution and the OVERRIDES closure in every bench run
+        f"class B{i % 7}:\n    def run(self):\n        return 0\n    def step(self):\n        return 1\n\n",
+        f"class C{i % 97}(B{i % 7}):\n    def run(self):\n        return self.step()\n    def step(self):\n        return 1\n\n",
+    ]
+    for f_i in range(funcs_per_doc):
+        callee = f"fn_{(f_i + 1) % funcs_per_doc}"
+        body.append(
+            f"def fn_{f_i}():\n"
+            f"    {callee}()\n"
+            f"    fn_0()\n"
+            f"    numpy.zeros(3)\n"
+            f"    c = C{i % 97}()\n"
+            f"    return c\n\n"
+        )
+    spans = [code("".join(body))]
+    if i % 5 == 0:
+        spans.append(media(f"assets/diagram_{i}.png"))
+        spans.append(code(f"def tail_{i}():\n    fn_0()\n"))
+    return _doc(f"synth/pkg{p:03d}/{name}.py", *spans)
+
+
 def synth_corpus_rows(
     n_docs: int, funcs_per_doc: int = 8, pkg_fanout: int = 50
 ) -> list[dict]:
     """Deterministic synthetic repo: ``n_docs`` modules in ``pkg_fanout``
-    packages; each module defines a class + functions, imports two sibling
+    packages; each module defines classes + functions, imports two sibling
     modules, and calls local/imported/class functions. No RNG — content is a
     pure function of the doc index, so any two runs (and any two parallelism
     levels) see identical input."""
-    rows = []
-    rows.append(_doc("synth/__init__.py", code("")))
+    rows = [_doc("synth/__init__.py", code(""))]
     for p in range(min(pkg_fanout, n_docs)):
         rows.append(_doc(f"synth/pkg{p:03d}/__init__.py", code("")))
     for i in range(n_docs):
-        p = i % pkg_fanout
-        sib1 = (i + 1) % n_docs
-        sib2 = (i + 7) % n_docs
-        name = f"mod{i:05d}"
-        imports = (
-            f"from synth.pkg{sib1 % pkg_fanout:03d}.mod{sib1:05d} import fn_0\n"
-            f"import synth.pkg{sib2 % pkg_fanout:03d}.mod{sib2:05d}\n"
-            "import numpy\n"
-        )
-        body = [
-            imports,
-            # inheritance + override per module: exercises the INHERITS
-            # resolution and the OVERRIDES BFS in every bench run
-            f"class B{i % 7}:\n    def run(self):\n        return 0\n    def step(self):\n        return 1\n\n",
-            f"class C{i % 97}(B{i % 7}):\n    def run(self):\n        return self.step()\n    def step(self):\n        return 1\n\n",
-        ]
-        for f_i in range(funcs_per_doc):
-            callee = f"fn_{(f_i + 1) % funcs_per_doc}"
-            body.append(
-                f"def fn_{f_i}():\n"
-                f"    {callee}()\n"
-                f"    fn_0()\n"
-                f"    numpy.zeros(3)\n"
-                f"    c = C{i % 97}()\n"
-                f"    return c\n\n"
-            )
-        spans = [code("".join(body))]
-        if i % 5 == 0:
-            spans.append(media(f"assets/diagram_{i}.png"))
-            spans.append(code(f"def tail_{i}():\n    fn_0()\n"))
-        rows.append(_doc(f"synth/pkg{p:03d}/{name}.py", *spans))
+        rows.append(_synth_module_doc(i, n_docs, funcs_per_doc, pkg_fanout))
     return rows
 
 
 def synth_corpus(spark: SparkSession, n_docs: int, **kw) -> DataFrame:
     return documents_df(spark, synth_corpus_rows(n_docs, **kw))
+
+
+def synth_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    funcs_per_doc: int = 8,
+    pkg_fanout: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Same content as ``synth_corpus`` but generated ON THE EXECUTORS
+    (mapInPandas over ``spark.range``) — the driver never materializes the
+    corpus, so scaling benches measure the engine, not corpus generation.
+    Content is identical to the driver-side generator for the same params."""
+    import pandas as pd
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i == 0:
+                    rows.append(_doc("synth/__init__.py", code("")))
+                if i < min(pkg_fanout, n_docs):
+                    rows.append(_doc(f"synth/pkg{i:03d}/__init__.py", code("")))
+                rows.append(
+                    _synth_module_doc(i, n_docs, funcs_per_doc, pkg_fanout)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return spark.range(0, n_docs, 1, n_parts).mapInPandas(
+        gen, schema=DOCUMENTS_SCHEMA
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from code_graph_rag_spark.extract.mentions import extract_mentions
 from code_graph_rag_spark.plans.inherits import (
+    ancestor_closure,
     ext_nodes_from_edges,
     override_edges,
     resolve_inherits,
@@ -204,13 +205,54 @@ def build_graph_from_mentions(
     alias, import_edges, ext_imp_nodes = build_alias_frame(mentions, modules)
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
+    # ---- type edges first: the ancestor closure feeds the super()/
+    # inherited-self rungs of call resolution ----
+    inh_e = _materialize(resolve_inherits(mentions, entities, alias), "inherits")
+    closure = ancestor_closure(inh_e)
+    ovr_e = override_edges(entities, inh_e, closure)
+
     # ---- calls / refs ----
-    resolved = resolve_calls(mentions, entities, alias)
+    resolved = resolve_calls(mentions, entities, alias, closure)
     call_e = call_edges(resolved, entities)
 
-    # ---- type edges ----
-    inh_e = _materialize(resolve_inherits(mentions, entities, alias), "inherits")
-    ovr_e = override_edges(entities, inh_e)
+    # ---- exports: __all__ symbols → Module EXPORTS Class/Function ----
+    exports = (
+        mentions.filter(F.col("kind") == "export")
+        .select(
+            F.col("module_qn").alias("subj"),
+            F.concat_ws(".", "module_qn", "name").alias("target"),
+        )
+        .join(
+            entities.filter(F.col("label").isin("Class", "Function")).select(
+                F.col("qn").alias("target"),
+                F.col("qualified_name").alias("obj"),
+                F.col("label").alias("obj_label"),
+            ),
+            "target",
+        )
+        .select(
+            "subj",
+            F.lit("EXPORTS").alias("pred"),
+            "obj",
+            F.lit("Module").alias("subj_label"),
+            "obj_label",
+        )
+    )
+
+    # ---- dependency manifests → Project DEPENDS_ON_EXTERNAL ----
+    deps = mentions.filter(F.col("kind") == "dependency").select(
+        F.col("parent_qn").alias("subj"),
+        F.lit("DEPENDS_ON_EXTERNAL").alias("pred"),
+        F.col("name").alias("obj"),
+        F.lit("Project").alias("subj_label"),
+        F.lit("ExternalPackage").alias("obj_label"),
+    )
+    ext_pkg_nodes = deps.select(
+        F.lit("ExternalPackage").alias("label"),
+        F.col("obj").alias("id"),
+        F.col("obj").alias("name"),
+        F.lit(None).cast("string").alias("path"),
+    ).distinct()
 
     # ---- assembly ----
     ext_nodes = ext_imp_nodes.unionByName(ext_nodes_from_edges(inh_e)).distinct()
@@ -218,6 +260,7 @@ def build_graph_from_mentions(
         _pad_nodes(struct_nodes)
         .unionByName(_pad_nodes(entity_nodes))
         .unionByName(_pad_nodes(ext_nodes))
+        .unionByName(_pad_nodes(ext_pkg_nodes))
         .dropDuplicates(["label", "id"])
     )
     # nodes/edges trees are shallow once the fan-out frames above are
@@ -225,7 +268,15 @@ def build_graph_from_mentions(
     # Catalyst cost stays bounded and the first caller action computes once.
     nodes = nodes.persist()
     edges = union_edges(
-        struct_edges, mod_edges, defines, import_edges, call_e, inh_e, ovr_e
+        struct_edges,
+        mod_edges,
+        defines,
+        import_edges,
+        call_e,
+        inh_e,
+        ovr_e,
+        exports,
+        deps,
     )
     edges = edges.filter(F.col("pred").isin(*sorted(enabled_rels(groups))))
     edges = drop_phantoms(dedup_edges(edges), nodes).persist()

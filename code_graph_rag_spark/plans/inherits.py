@@ -1,12 +1,14 @@
-"""Type edges: INHERITS with base order, OVERRIDES via iterative BFS joins.
+"""Type edges: INHERITS/IMPLEMENTS with base order, ancestor closure,
+OVERRIDES via the closure.
 
 Reference: generic INHERITS/IMPLEMENTS resolution once the full registry is
 known (``graph_updater.py:739-744``, ``class_ingest/mixin.py:481-551``);
 method-override pass walks the inheritance DAG nearest-ancestor-first
-(``class_ingest/method_override.py:18-67,306-360``). Here the DAG walk is a
-bounded driver-side loop of frontier joins with lineage cuts
-(``localCheckpoint``) — the standard Spark shape for iterative graph
-algorithms (SURVEY.md §4 custom-work item 2).
+(``class_ingest/method_override.py:18-67,306-360``). Instead of an adaptive
+per-depth loop, we materialize the **bounded ancestor closure by doubling**
+(3 doublings → depth ≤ 8, beyond any real class hierarchy): O(log depth)
+checkpointed joins, reused by OVERRIDES, ``super()`` dispatch and inherited
+self-method resolution.
 """
 
 from __future__ import annotations
@@ -20,16 +22,18 @@ from code_graph_rag_spark.plans.resolution import (
     P_SIMPLE_NAME,
 )
 
+_CLASSY = ("Class", "Interface", "Enum")
+
 
 def resolve_inherits(
     mentions: DataFrame, entities: DataFrame, alias: DataFrame
 ) -> DataFrame:
-    """inherit mentions → INHERITS edges (props: base_index).
+    """inherit mentions → INHERITS / IMPLEMENTS edges (props: base_index).
 
     Base names resolve through the import-alias → same-module → unique
-    simple-name ladder; a base bound to an external import yields INHERITS to
-    an ExternalModule id (graph-schema: INHERITS targets include
-    ExternalModule). Unresolvable bases emit nothing
+    simple-name ladder; a base that is an Interface yields IMPLEMENTS
+    (graph-schema relationship table); a base bound to an external import
+    yields INHERITS to an ExternalModule id. Unresolvable bases emit nothing
     (``class_ingest/mixin.py:481-551``: no guessing).
     """
     inh = mentions.filter(F.col("kind") == "inherit").select(
@@ -83,14 +87,16 @@ def resolve_inherits(
         F.lit(P_SAME_MODULE).alias("priority"),
     )
 
-    classes = entities.filter(
-        F.col("label").isin("Class", "Interface", "Enum")
-    ).select(
+    classes = entities.filter(F.col("label").isin(*_CLASSY)).select(
         F.col("qn").alias("e_qn"),
         F.col("qualified_name").alias("target_variant"),
         F.col("name").alias("e_name"),
         F.col("label").alias("target_label"),
     )
+    subj_labels = entities.filter(F.col("label").isin(*_CLASSY)).select(
+        F.col("qn").alias("subj"), F.col("label").alias("s_label")
+    ).dropDuplicates(["subj"])
+
     exact = (
         c_imp.unionByName(c_same)
         .join(classes, F.col("cand_qn") == classes["e_qn"])
@@ -101,7 +107,12 @@ def resolve_inherits(
         bare.join(classes, bare["base"] == classes["e_name"])
         .withColumn("n", F.count("*").over(Window.partitionBy("mention_id")))
         .filter(F.col("n") == 1)
-        .select(*key, F.lit(P_SIMPLE_NAME).alias("priority"), "target_variant", "target_label")
+        .select(
+            *key,
+            F.lit(P_SIMPLE_NAME).alias("priority"),
+            "target_variant",
+            "target_label",
+        )
     )
 
     hits = exact.unionByName(simple).filter(F.col("subj") != F.col("target_variant"))
@@ -109,16 +120,29 @@ def resolve_inherits(
     internal = (
         hits.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
+        .join(F.broadcast(subj_labels), "subj", "left")
         .select(
             "subj",
-            F.lit("INHERITS").alias("pred"),
+            F.when(F.col("target_label") == "Interface", F.lit("IMPLEMENTS"))
+            .otherwise(F.lit("INHERITS"))
+            .alias("pred"),
             F.col("target_variant").alias("obj"),
-            F.lit("Class").alias("subj_label"),
+            F.coalesce(F.col("s_label"), F.lit("Class")).alias("subj_label"),
             F.col("target_label").alias("obj_label"),
             "base_index",
         )
     )
-    out = internal.unionByName(ext_edges)
+    out = internal.unionByName(
+        ext_edges.join(F.broadcast(subj_labels), "subj", "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.coalesce(F.col("s_label"), F.lit("Class")).alias("subj_label"),
+            "obj_label",
+            "base_index",
+        )
+    )
     return out.withColumn(
         "props",
         F.create_map(F.lit("base_index"), F.col("base_index").cast("string")),
@@ -139,108 +163,88 @@ def ext_nodes_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def override_edges(
-    entities: DataFrame, inherits: DataFrame, max_depth: int = 16
-) -> DataFrame:
-    """Method OVERRIDES via nearest-ancestor BFS over the INHERITS frame.
+def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
+    """Bounded transitive closure of the inheritance DAG by doubling.
 
-    For each (class, method-name), find the closest ancestor class defining
-    the same method name; emit ``method OVERRIDES ancestor_method``
-    (``class_ingest/method_override.py:306-360``: superclass chain walked
-    nearest-first; ties broken by base order). Driver-side bounded loop;
-    each frontier is localCheckpoint'ed to cut lineage.
+    Returns (cls, anc, depth, ord): every internal ancestor up to depth
+    2^doublings, with ``ord`` = base_index of the first hop (ties in the
+    nearest-provider pick break by declared base order — first-match-wins,
+    ``method_override.py:306-360``). Each doubling is localCheckpoint'ed.
     """
-    methods = entities.filter(F.col("label") == "Method").select(
-        F.col("parent_qn").alias("cls"),
-        F.col("name").alias("mname"),
-        F.col("qualified_name").alias("mqn"),
-    )
-    parents = (
-        inherits.filter(F.col("obj_label").isin("Class", "Interface", "Enum"))
+    base = (
+        inherits.filter(F.col("obj_label").isin(*_CLASSY))
         .select(
             F.col("subj").alias("cls"),
             F.col("obj").alias("anc"),
+            F.lit(1).alias("depth"),
             F.coalesce(
                 F.col("props").getItem("base_index").cast("int"), F.lit(0)
             ).alias("ord"),
         )
         .distinct()
     )
-    if parents.isEmpty():
-        return methods.sparkSession.createDataFrame(
-            [],
-            "subj string, pred string, obj string, subj_label string, obj_label string",
-        )
-
-    results = []
-    frontier = parents.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
-    resolved_pairs = None  # (cls, mname) already matched at a closer depth
-    for _ in range(max_depth):
-        # methods provided by the frontier's ancestors
-        hit = (
-            methods.alias("m")
-            .join(frontier.alias("f"), F.col("m.cls") == F.col("f.cls"))
-            .join(
-                methods.alias("a"),
-                (F.col("f.anc") == F.col("a.cls"))
-                & (F.col("m.mname") == F.col("a.mname")),
-            )
+    clo = base.localCheckpoint(eager=True)
+    for _ in range(doublings):
+        ext = (
+            clo.alias("x")
+            .join(clo.alias("y"), F.col("x.anc") == F.col("y.cls"))
             .select(
-                F.col("m.cls").alias("cls"),
-                F.col("m.mname").alias("mname"),
-                F.col("m.mqn").alias("subj"),
-                F.col("a.mqn").alias("obj"),
-                F.col("f.ord").alias("ord"),
+                F.col("x.cls").alias("cls"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.depth") + F.col("y.depth")).alias("depth"),
+                F.col("x.ord").alias("ord"),
             )
         )
-        if resolved_pairs is not None:
-            hit = hit.join(resolved_pairs, ["cls", "mname"], "left_anti")
-        w = Window.partitionBy("cls", "mname", "subj").orderBy("ord", "obj")
-        hit = (
-            hit.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk", "ord")
+        clo = (
+            clo.unionByName(ext)
+            .groupBy("cls", "anc")
+            .agg(F.min(F.struct("depth", "ord")).alias("m"))
+            .select("cls", "anc", F.col("m.depth").alias("depth"), F.col("m.ord").alias("ord"))
             .localCheckpoint(eager=True)
         )
-        if not hit.isEmpty():
-            results.append(hit)
-            newly = hit.select("cls", "mname").distinct()
-            resolved_pairs = (
-                newly
-                if resolved_pairs is None
-                else resolved_pairs.unionByName(newly).distinct()
-            ).localCheckpoint(eager=True)
-        # expand frontier one hop: cls → anc-of-anc
-        frontier = (
-            frontier.alias("f")
-            .join(
-                parents.alias("p"),
-                F.col("f.anc") == F.col("p.cls"),
-            )
-            .select(
-                F.col("f.cls").alias("cls"),
-                F.col("p.anc").alias("anc"),
-                F.col("f.ord").alias("ord"),
-                (F.col("f.depth") + 1).alias("depth"),
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            break
+    return clo
 
-    if not results:
-        return methods.sparkSession.createDataFrame(
-            [],
-            "subj string, pred string, obj string, subj_label string, obj_label string",
+
+def override_edges(
+    entities: DataFrame, inherits: DataFrame, closure: DataFrame | None = None
+) -> DataFrame:
+    """Method OVERRIDES nearest ancestor method of the same name.
+
+    One join pass over the precomputed ancestor closure instead of an
+    adaptive BFS loop (nearest = min (depth, base order) per method).
+    """
+    if closure is None:
+        closure = ancestor_closure(inherits)
+    methods = entities.filter(F.col("label") == "Method").select(
+        F.col("parent_qn").alias("cls"),
+        F.col("name").alias("mname"),
+        F.col("qualified_name").alias("mqn"),
+    )
+    hits = (
+        methods.alias("m")
+        .join(closure.alias("c"), F.col("m.cls") == F.col("c.cls"))
+        .join(
+            methods.alias("a"),
+            (F.col("c.anc") == F.col("a.cls"))
+            & (F.col("m.mname") == F.col("a.mname")),
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "subj",
-        F.lit("OVERRIDES").alias("pred"),
-        "obj",
-        F.lit("Method").alias("subj_label"),
-        F.lit("Method").alias("obj_label"),
-    ).dropDuplicates(["subj", "pred", "obj"])
+        .select(
+            F.col("m.mqn").alias("subj"),
+            F.col("a.mqn").alias("obj"),
+            F.col("c.depth").alias("depth"),
+            F.col("c.ord").alias("ord"),
+        )
+    )
+    w = Window.partitionBy("subj").orderBy("depth", "ord", "obj")
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "subj",
+            F.lit("OVERRIDES").alias("pred"),
+            "obj",
+            F.lit("Method").alias("subj_label"),
+            F.lit("Method").alias("obj_label"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )

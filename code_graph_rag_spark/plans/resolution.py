@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 # ladder priorities (mirroring the reference's rung order,
 # call_resolver.py:721-974)
 P_ENCLOSING = 1  # nested-def enclosing scope (rung 2)
-P_IMPORT = 2  # import-alias map (rung 8)
-P_SAME_MODULE = 3  # same-module exact (rung 8 tail)
-P_CLASS_CTX = 4  # self-sibling method (rung 10)
+P_SUPER = 2  # super() → nearest base-class method (rung 6)
+P_IMPORT = 3  # import-alias map (rung 8)
+P_SAME_MODULE = 4  # same-module exact (rung 8 tail)
+P_CLASS_CTX = 5  # self-sibling method (rung 10)
+P_INHERITED_SELF = 6  # self.m() provided by an ancestor class
 P_SIMPLE_NAME = 9  # simple-name fallback (rung 13, trie find_ending_with)
 
 
@@ -169,10 +171,16 @@ def build_alias_frame(
 
 
 def resolve_calls(
-    mentions: DataFrame, entities: DataFrame, alias: DataFrame
+    mentions: DataFrame,
+    entities: DataFrame,
+    alias: DataFrame,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """call/ref mentions → resolved target rows (one per variant of the
     winning natural QN).
+
+    ``closure``: optional ancestor closure (cls, anc, depth, ord) enabling
+    the super() rung and inherited self-method resolution.
 
     Output: mention_id, kind, doc_id, caller_qn, caller_label, priority,
     target_qn (natural), target_variant (qualified_name), target_label.
@@ -187,6 +195,7 @@ def resolve_calls(
         "callee",
         "enclosing_hint",
         "class_ctx_hint",
+        "super_hint",
         F.split(F.col("callee"), "\\.").getItem(0).alias("first_seg"),
         F.when(
             F.instr(F.col("callee"), ".") > 0,
@@ -243,6 +252,42 @@ def resolve_calls(
         F.lit(P_CLASS_CTX).alias("priority"),
     )
 
+    # closure rungs: super() dispatch + self.m() provided by an ancestor.
+    # depth orders nearest-ancestor-first within the rung.
+    closure_cands = []
+    if closure is not None:
+        clo = closure.select(
+            F.col("cls"), F.col("anc"), F.col("depth"), F.col("ord")
+        )
+        supers = calls.filter(F.col("super_hint").isNotNull()).withColumn(
+            "method", F.element_at(F.split("callee", "\\."), -1)
+        )
+        c_super = supers.join(clo, supers["super_hint"] == clo["cls"]).select(
+            *key_cols,
+            F.concat_ws(".", "anc", "method").alias("cand_qn"),
+            F.lit(P_SUPER).alias("priority"),
+            "depth",
+            "ord",
+        )
+        self_calls = calls.filter(F.col("class_ctx_hint").isNotNull()).select(
+            *key_cols,
+            F.element_at(F.split("class_ctx_hint", "\\."), -1).alias("method"),
+            F.expr(
+                "substring(class_ctx_hint, 1, length(class_ctx_hint)"
+                " - instr(reverse(class_ctx_hint), '.'))"
+            ).alias("own_class"),
+        )
+        c_inh_self = self_calls.join(
+            clo, self_calls["own_class"] == clo["cls"]
+        ).select(
+            *key_cols,
+            F.concat_ws(".", "anc", "method").alias("cand_qn"),
+            F.lit(P_INHERITED_SELF).alias("priority"),
+            "depth",
+            "ord",
+        )
+        closure_cands = [c_super, c_inh_self]
+
     ent = entities.select(
         F.col("qn").alias("e_qn"),
         F.col("qualified_name").alias("target_variant"),
@@ -250,12 +295,22 @@ def resolve_calls(
         F.col("name").alias("e_name"),
     )
 
-    exact_cands = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    exact_cands = (
+        c1.unionByName(c2)
+        .unionByName(c3)
+        .unionByName(c4)
+        .withColumn("depth", F.lit(0))
+        .withColumn("ord", F.lit(0))
+    )
+    for cc in closure_cands:
+        exact_cands = exact_cands.unionByName(cc)
     exact_hits = exact_cands.join(
         ent, exact_cands["cand_qn"] == ent["e_qn"]
     ).select(
         *key_cols,
         "priority",
+        "depth",
+        "ord",
         F.col("e_qn").alias("target_qn"),
         "target_variant",
         "target_label",
@@ -281,6 +336,8 @@ def resolve_calls(
     ).select(
         *key_cols,
         F.lit(P_SIMPLE_NAME).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("ord"),
         F.col("e_qn").alias("target_qn"),
         "target_variant",
         "target_label",
@@ -291,10 +348,13 @@ def resolve_calls(
         F.col("target_qn") != F.col("caller_qn")
     )
 
-    # arbitration: lowest rung wins; all variants of the winning natural QN
-    # survive (a call to a duplicated name links to every variant,
-    # graph-schema "Qualified Name Uniqueness")
-    w = Window.partitionBy("mention_id").orderBy("priority", "target_qn")
+    # arbitration: lowest rung wins; within closure rungs the nearest
+    # ancestor (depth, then declared base order) wins; all variants of the
+    # winning natural QN survive (a call to a duplicated name links to every
+    # variant, graph-schema "Qualified Name Uniqueness")
+    w = Window.partitionBy("mention_id").orderBy(
+        "priority", "depth", "ord", "target_qn"
+    )
     return (
         hits.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") == 1)

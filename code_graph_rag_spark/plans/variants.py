@@ -14,13 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEF_KINDS = ("module", "function", "class", "method")
+_DEF_KINDS = ("module", "function", "class", "method", "interface", "enum")
 
 _KIND_TO_LABEL = {
     "module": "Module",
     "function": "Function",
     "class": "Class",
     "method": "Method",
+    "interface": "Interface",
+    "enum": "Enum",
 }
 
 

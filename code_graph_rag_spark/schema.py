@@ -90,8 +90,8 @@ MENTIONS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("module_qn", T.StringType(), False),
-        # kind: module | function | class | method | import | call | ref
-        #     | inherit
+        # kind: module | function | class | interface | enum | method
+        #     | import | call | ref | inherit | export | dependency
         T.StructField("kind", T.StringType(), False),
         # natural qualified name (pre variant-minting) for definitions;
         # null for call/import/inherit mentions
@@ -115,6 +115,9 @@ MENTIONS_SCHEMA = T.StructType(
         # computed inside the UDF and arbitrated later by priority rank.
         T.StructField("enclosing_hint", T.StringType(), True),
         T.StructField("class_ctx_hint", T.StringType(), True),
+        # super() dispatch: the class whose ancestor chain provides the
+        # method (resolved by a closure join, reference rung 6)
+        T.StructField("super_hint", T.StringType(), True),
         # inherits: 0-based position in the base list (semantic: first-match
         # -wins method resolution; reference keeps base_index on the edge)
         T.StructField("base_index", T.IntegerType(), True),

@@ -19,9 +19,12 @@ ORACLE_PREDS = {
     "CALLS",
     "IMPORTS",
     "INHERITS",
+    "IMPLEMENTS",
     "OVERRIDES",
     "INSTANTIATES",
     "REFERENCES",
+    "EXPORTS",
+    "DEPENDS_ON_EXTERNAL",
 }
 
 
