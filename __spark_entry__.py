@@ -196,16 +196,21 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (anti) + count of those with orders (semi)."""
+    """Customers with no big order (anti) + count with one (semi).
+
+    Threshold keeps the result non-empty at every SF (a 0-row anti-join
+    would be a vacuous correctness check)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
-    with_orders = cust.join(orders, "c_custkey", "left_semi").count()
-    without = cust.join(orders, "c_custkey", "left_anti")
+    with_big = cust.join(big, "c_custkey", "left_semi").count()
+    without = cust.join(big, "c_custkey", "left_anti")
     return without.select(
         F.col("c_custkey"),
-        F.lit(with_orders).alias("n_with_orders"),
+        F.lit(with_big).cast("long").alias("n_with_big_order"),
     ).orderBy("c_custkey")
 
 
@@ -335,11 +340,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with injected duplicates (the synthetic corpus has no
+    natural exact dups — a 0-row result would be a vacuous check)."""
     from code_graph_rag_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents")).orderBy(
-        "content_hash"
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000).cast("long")
     )
+    return exact_duplicates(docs.unionByName(dup)).orderBy("content_hash")
 
 
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,16 +536,19 @@ def oracle_sql() -> dict[str, str]:
         "join_semi_anti": """
             SELECT c_custkey,
                    (SELECT count(*) FROM customer
-                    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                        WHERE o_totalprice > 400000.0))
+                       AS n_with_big_order
             FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 400000.0)
             ORDER BY c_custkey
         """,
         "window_topk_orders": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,
-                       row_number() OVER (PARTITION BY o_custkey
-                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                       cast(row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
                 FROM orders
             ) WHERE rk <= 3
         """,
@@ -554,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n,
                    round(sum(value), 4) AS total_value,
-                   sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k
+                   cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS sum_k
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
@@ -590,7 +602,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": f"""
             SELECT doc_id,
-                   len({_TOKS}) AS n_tokens,
+                   len({_TOKS})::INT AS n_tokens,
                    length(text) AS n_chars_measured
             FROM documents ORDER BY doc_id
         """,
@@ -603,7 +615,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), feats AS (
                 SELECT doc_id,
-                       len(toks) AS n_tokens,
+                       len(toks)::INT AS n_tokens,
                        CASE WHEN n_chars > 0
                             THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
                        CASE WHEN len(toks) > 0
@@ -614,7 +626,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END AS mean_token_len
                 FROM base
             )
-            SELECT doc_id, n_tokens,
+            SELECT doc_id, n_tokens::INT AS n_tokens,
                    round(punct_ratio, 6) AS punct_ratio,
                    round(stopword_ratio, 6) AS stopword_ratio,
                    round(mean_token_len, 6) AS mean_token_len,
@@ -626,10 +638,10 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"""
             WITH h AS (
                 SELECT doc_id,
-                       {lang_hits["en"]} AS h_en,
-                       {lang_hits["fr"]} AS h_fr,
-                       {lang_hits["de"]} AS h_de,
-                       {lang_hits["es"]} AS h_es
+                       {lang_hits["en"]} ::INT AS h_en,
+                       {lang_hits["fr"]} ::INT AS h_fr,
+                       {lang_hits["de"]} ::INT AS h_de,
+                       {lang_hits["es"]} ::INT AS h_es
                 FROM documents
             )
             SELECT doc_id,
@@ -638,7 +650,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en THEN 'en'
                         WHEN h_es THEN 'es'
                         ELSE 'fr' END AS lang_pred,
-                   greatest(h_en, h_fr, h_de, h_es) AS marker_hits
+                   greatest(h_en, h_fr, h_de, h_es)::INT AS marker_hits
             FROM h ORDER BY doc_id
         """,
         "text_fingerprint": f"""
@@ -649,11 +661,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact_groups": f"""
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+            )
             SELECT {_HASH60.format(expr=_NORM)} AS content_hash,
                    count(*) AS n_docs,
                    array_agg(doc_id ORDER BY doc_id) AS doc_ids,
                    min(doc_id) AS keeper
-            FROM documents
+            FROM docs2
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY content_hash
         """,
@@ -699,8 +716,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             ), ranked AS (
                 SELECT query_id, vec_id, round(cos_raw, 4) AS cosine,
-                       row_number() OVER (PARTITION BY query_id
-                           ORDER BY cos_raw DESC, vec_id ASC) AS rank
+                       cast(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_raw DESC, vec_id ASC) AS INT) AS rank
                 FROM scored
             )
             SELECT query_id, vec_id, cosine, rank

@@ -93,6 +93,7 @@ def resolve_inherits(
         F.col("name").alias("e_name"),
         F.col("label").alias("target_label"),
     )
+    # no broadcast hint (scales with class count); AQE decides at runtime
     subj_labels = entities.filter(F.col("label").isin(*_CLASSY)).select(
         F.col("qn").alias("subj"), F.col("label").alias("s_label")
     ).dropDuplicates(["subj"])
@@ -101,8 +102,15 @@ def resolve_inherits(
         c_imp.unionByName(c_same)
         .join(classes, F.col("cand_qn") == classes["e_qn"])
         .select(*key, "priority", "target_variant", "target_label")
+        .persist()  # reused: union into hits + gates the fallback rung
     )
-    bare = inh.filter(F.col("rest").isNull())
+    # unique-simple-name fallback only for bases no earlier rung answered
+    # (hub class names would otherwise explode the name join — same gating
+    # as the call ladder's last-resort rung)
+    answered = exact.select("mention_id").distinct()
+    bare = inh.filter(F.col("rest").isNull()).join(
+        answered, "mention_id", "left_anti"
+    )
     simple = (
         bare.join(classes, bare["base"] == classes["e_name"])
         .withColumn("n", F.count("*").over(Window.partitionBy("mention_id")))
@@ -120,7 +128,7 @@ def resolve_inherits(
     internal = (
         hits.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .join(F.broadcast(subj_labels), "subj", "left")
+        .join(subj_labels, "subj", "left")
         .select(
             "subj",
             F.when(F.col("target_label") == "Interface", F.lit("IMPLEMENTS"))
@@ -133,7 +141,7 @@ def resolve_inherits(
         )
     )
     out = internal.unionByName(
-        ext_edges.join(F.broadcast(subj_labels), "subj", "left")
+        ext_edges.join(subj_labels, "subj", "left")
         .select(
             "subj",
             "pred",

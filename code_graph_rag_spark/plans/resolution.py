@@ -48,11 +48,13 @@ def resolve_import_targets(refs: DataFrame, modules: DataFrame) -> DataFrame:
     (``import_processor.py:861-1058``): exact QN → project-prefixed QN →
     unique whole-segment suffix. Returns ``project, ref, resolved_mqn``.
     """
+    # no forced broadcast: the module table grows with the corpus; AQE
+    # promotes these joins to broadcast at runtime while they are small
     mods = modules.select(
         F.col("qualified_name").alias("mqn"),
         F.element_at(F.split("qualified_name", "\\."), -1).alias("m_last"),
     ).distinct()
-    bmods = F.broadcast(mods)
+    bmods = mods
 
     base = refs.select(
         "project",
@@ -314,11 +316,18 @@ def resolve_calls(
         F.col("e_qn").alias("target_qn"),
         "target_variant",
         "target_label",
-    )
+    ).persist()  # reused: union into hits + gates the fallback rung
 
-    # simple-name fallback (rung 13) — bare names only, and NEVER for a name
+    # simple-name fallback (rung 13) — bare names only, NEVER for a name
     # bound to an external import in the same module (rung 11 suppression,
-    # call_resolver.py:914-947)
+    # call_resolver.py:914-947), and ONLY for mentions no earlier rung
+    # answered. The reference runs the trie fallback as control-flow
+    # last-resort; computing it eagerly for every call turns hub simple
+    # names (a `run`/`main` defined in every module) into an
+    # |calls_with_name| × |defs_with_name| blow-up — measured as a
+    # billions-of-rows join on the 20k-doc bench corpus. The anti-join gate
+    # is the semantic equivalent and keeps the join bounded by the
+    # unresolved remainder.
     ext_bound = (
         alias.filter(F.col("is_external"))
         .select(
@@ -327,8 +336,10 @@ def resolve_calls(
         )
         .distinct()
     )
+    answered = exact_hits.select("mention_id").distinct()
     bare = (
         calls.filter(F.col("rest").isNull())
+        .join(answered, "mention_id", "left_anti")
         .join(F.broadcast(ext_bound), ["module_qn", "callee"], "left_anti")
     )
     fallback_hits = bare.join(ent, bare["callee"] == ent["e_name"]).filter(
@@ -392,10 +403,12 @@ def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
         F.col("parent_qn").alias("ctor_class"),
         F.col("qualified_name").alias("ctor_qn"),
     )
+    # no broadcast hint: the ctor table scales with class count; AQE
+    # broadcasts it at runtime when small
     ctor_calls = (
         calls.filter(F.col("target_label") == "Class")
         .join(
-            F.broadcast(ctors),
+            ctors,
             F.col("target_qn") == F.col("ctor_class"),
         )
         .select(

@@ -54,8 +54,12 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
 
 
 def drop_phantoms(edges: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Inner-join both endpoints against the node id set."""
-    ids = F.broadcast(nodes.select(F.col("id").alias("_nid")).distinct())
+    """Inner-join both endpoints against the node id set.
+
+    No broadcast hint: the node table grows with the corpus (10^12-doc
+    regime), so the semi-joins must be shuffle joins; AQE converts them to
+    broadcast at runtime when the id set is actually small."""
+    ids = nodes.select(F.col("id").alias("_nid")).distinct()
     return (
         edges.join(ids, edges["subj"] == F.col("_nid"), "left_semi")
         .join(ids, edges["obj"] == F.col("_nid"), "left_semi")
