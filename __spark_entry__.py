@@ -609,24 +609,24 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             WITH base AS (
                 SELECT doc_id,
-                       {_TOKS} AS toks,
+                       len({_TOKS})::INT AS n_tokens,
                        length(text) AS n_chars,
-                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))::INT AS n_stop,
+                       length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
                 FROM documents
             ), feats AS (
-                SELECT doc_id,
-                       len(toks)::INT AS n_tokens,
+                SELECT doc_id, n_tokens,
                        CASE WHEN n_chars > 0
                             THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
-                       CASE WHEN len(toks) > 0
-                            THEN len(list_filter(toks, x -> list_contains({stop_list}, lower(x))))::DOUBLE / len(toks)
-                            ELSE 0.0 END AS stopword_ratio,
-                       CASE WHEN len(toks) > 0
-                            THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks)
+                       CASE WHEN n_tokens > 0
+                            THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN n_tokens > 0
+                            THEN n_nonspace::DOUBLE / n_tokens
                             ELSE 0.0 END AS mean_token_len
                 FROM base
             )
-            SELECT doc_id, n_tokens::INT AS n_tokens,
+            SELECT doc_id, n_tokens,
                    round(punct_ratio, 6) AS punct_ratio,
                    round(stopword_ratio, 6) AS stopword_ratio,
                    round(mean_token_len, 6) AS mean_token_len,

@@ -29,7 +29,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from code_graph_rag_spark.operators.text import hash60, norm_text, shingles
+from code_graph_rag_spark.operators.text import (
+    doc_shingles as _doc_shingles,
+    hash60,
+    norm_text,
+)
 
 MOD = 1_000_000_007
 
@@ -65,10 +69,9 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc."""
-    return documents.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
-    )
+    """(doc_id, shingle) exploded, distinct per doc (codegen path — see
+    operators.text.doc_shingles)."""
+    return _doc_shingles(documents, n)
 
 
 def minhash_signatures(
@@ -103,7 +106,9 @@ def lsh_candidate_pairs(
     fraction of matching signature rows) with doc_a < doc_b.
     """
     r = k // bands
-    sigs = minhash_signatures(documents, k, n)
+    # persist: the signature pipeline feeds both sides of the band self-join
+    # (unpersisted it is computed twice — measured 2x on the sf0.1 bench)
+    sigs = minhash_signatures(documents, k, n).persist()
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -194,8 +199,7 @@ def simhash(documents: DataFrame, bits: int = 64, n: int = 3) -> DataFrame:
     """
     import numpy as np
 
-    sh = documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
+    exploded = doc_shingles(documents, n).withColumn(
         "h", hash60(F.col("shingle"))
     )
 
