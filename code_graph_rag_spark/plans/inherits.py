@@ -26,7 +26,10 @@ _CLASSY = ("Class", "Interface", "Enum")
 
 
 def resolve_inherits(
-    mentions: DataFrame, entities: DataFrame, alias: DataFrame
+    mentions: DataFrame,
+    entities: DataFrame,
+    alias: DataFrame,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """inherit mentions → INHERITS / IMPLEMENTS edges (props: base_index).
 
@@ -104,6 +107,8 @@ def resolve_inherits(
         .select(*key, "priority", "target_variant", "target_label")
         .persist()  # reused: union into hits + gates the fallback rung
     )
+    if persist_registry is not None:
+        persist_registry.append(exact)
     # unique-simple-name fallback only for bases no earlier rung answered
     # (hub class names would otherwise explode the name join — same gating
     # as the call ladder's last-resort rung)

@@ -91,7 +91,9 @@ def resolve_import_targets(refs: DataFrame, modules: DataFrame) -> DataFrame:
 
 
 def build_alias_frame(
-    mentions: DataFrame, modules: DataFrame
+    mentions: DataFrame,
+    modules: DataFrame,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """imports mentions → (alias frame, IMPORTS edges, ExternalModule nodes).
 
@@ -122,6 +124,8 @@ def build_alias_frame(
     imp2 = imp.join(bind, ["project", "callee"], "left").join(
         edge, ["project", "target"], "left"
     ).persist()
+    if persist_registry is not None:
+        persist_registry.append(imp2)
 
     alias = imp2.select(
         "module_qn",
@@ -177,6 +181,7 @@ def resolve_calls(
     entities: DataFrame,
     alias: DataFrame,
     closure: DataFrame | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """call/ref mentions → resolved target rows (one per variant of the
     winning natural QN).
@@ -317,6 +322,8 @@ def resolve_calls(
         "target_variant",
         "target_label",
     ).persist()  # reused: union into hits + gates the fallback rung
+    if persist_registry is not None:
+        persist_registry.append(exact_hits)
 
     # simple-name fallback (rung 13) — bare names only, NEVER for a name
     # bound to an external import in the same module (rung 11 suppression,
@@ -366,13 +373,16 @@ def resolve_calls(
     w = Window.partitionBy("mention_id").orderBy(
         "priority", "depth", "ord", "target_qn"
     )
-    return (
+    out = (
         hits.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") == 1)
         .drop("rk")
         .dropDuplicates(["mention_id", "target_variant"])
         .persist()  # fans out into CALLS/INSTANTIATES/ctor/REFERENCES
     )
+    if persist_registry is not None:
+        persist_registry.append(out)
+    return out
 
 
 def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
