@@ -535,6 +535,11 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
 
     # --- second pass: caller-sensitive hints for calls/refs -----------------
     file_def_names = {r["name"] for r in def_rows}
+    # imported local names: a bare reference to one is a first-class use of
+    # an imported callable (resolved downstream via the import-alias rung)
+    file_def_names |= {
+        m["local_name"] for m in mentions if m.get("kind") == "import"
+    }
     for c in call_rows:
         callee = c["callee"]
         first = callee.split(".")[0]
