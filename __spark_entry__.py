@@ -241,6 +241,14 @@ def agg_rollup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
             F.count("*").alias("n_cust"),
         )
+        # rollup subtotal NULLs -> sentinel: null-free output compares
+        # safely in any engine/hash scheme
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "total_bal",
+            "n_cust",
+        )
         .orderBy("r_name", "n_name")
     )
 
@@ -293,8 +301,11 @@ def set_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_nations = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    supp_nations = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    # threshold keeps the difference non-empty at verification scale
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return (
         cust_nations.distinct()
@@ -553,14 +564,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 3
         """,
         "agg_rollup_nation": """
-            SELECT r_name, n_name,
+            SELECT coalesce(r_name, '(all)') AS r_name,
+                   coalesce(n_name, '(all)') AS n_name,
                    round(sum(c_acctbal), 4) AS total_bal,
                    count(*) AS n_cust
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
-            ORDER BY r_name, n_name
+            ORDER BY 1, 2
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -598,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT c_nationkey AS nationkey FROM customer
                 EXCEPT
                 SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+                WHERE s_acctbal > 8000.0
             ) ORDER BY nationkey
         """,
         "text_token_stats": f"""
