@@ -80,7 +80,14 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _synth_graph(spark)
-    return g.adjacency().select("node", "pred", "direction", "neighbors")
+    # array_join: the harness canonicalizer sorts rows in pandas and cannot
+    # hash array cells — serialize the neighbor list to a string
+    return g.adjacency().select(
+        "node",
+        "pred",
+        "direction",
+        F.array_join("neighbors", "|").alias("neighbors"),
+    )
 
 
 def kg_callers_of(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +366,17 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = docs.filter(F.col("doc_id") < 20).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000).cast("long")
     )
-    return exact_duplicates(docs.unionByName(dup)).orderBy("content_hash")
+    out = exact_duplicates(docs.unionByName(dup))
+    # serialize the doc_ids array — pandas-side canonicalization in the
+    # verification harness cannot hash list cells
+    return out.select(
+        "content_hash",
+        "n_docs",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias(
+            "doc_ids"
+        ),
+        "keeper",
+    ).orderBy("content_hash")
 
 
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,15 +401,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (pandas-UDF path; rows-only check)."""
+    """SimHash fingerprints (60-bit, md5-portable → DuckDB-verified)."""
     from code_graph_rag_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding candidates (band hash uses Spark's hash →
-    rows-only check; the signature agreement fraction is portable)."""
+    """MinHash-LSH banding candidates (band hash is hash60 → the oracle
+    replays the banding in SQL; DuckDB-verified)."""
     from code_graph_rag_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents")).orderBy(
@@ -429,13 +446,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN (rows-only: hyperplanes are engine-side constants)."""
+    """Bucketed multi-probe ANN — DuckDB-verified (the oracle embeds the
+    same deterministic hyperplane constants as literals)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _queries_frame(spark, sf_dir)
     from code_graph_rag_spark.operators.similarity import lsh_topk
 
-    dim = len(emb.select("embedding").head()[0])
-    return lsh_topk(emb, q, dim=dim, k=10).orderBy("query_id", "rank")
+    out = lsh_topk(emb, q, k=10)
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "query_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +514,96 @@ _SHINGLES = (
     "ELSE list_distinct([array_to_string({t}[i:i+2], ' ') "
     "for i in generate_series(1, len({t}) - 2)]) END)"
 ).format(t=_NTOKS)
+
+
+def _minhash_expr(a: int, b: int) -> str:
+    return (
+        f"list_aggregate(list_transform({_SHINGLES}, s -> "
+        f"(({_HASH60.format(expr='s')} % {MOD}) * {a} + {b}) % {MOD}), 'min')"
+    )
+
+
+def _lsh_candidates_sql() -> str:
+    """DuckDB twin of operators.dedup.lsh_candidate_pairs (k=16, bands=4)."""
+    from code_graph_rag_spark.operators.dedup import _perm_params
+
+    sig16 = "[" + ", ".join(_minhash_expr(a, b) for a, b in _perm_params(16)) + "]"
+    band_concat = "concat_ws(',', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])"
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id, {sig16} AS sig FROM documents
+        ), banded AS (
+            SELECT doc_id, sig, b AS band,
+                   {_HASH60.format(expr=band_concat)} AS band_hash
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+        ), pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(len(list_filter(list_zip(sa.sig, sb.sig),
+                                     z -> z[1] = z[2])) / 16.0, 6) AS sig_agree
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    """DuckDB twin of operators.similarity.lsh_topk (multi-probe, Hamming-1).
+
+    The deterministic hyperplanes are embedded as literals — the engine and
+    the oracle share the exact same constants (planes_matrix)."""
+    from code_graph_rag_spark.operators.similarity import planes_matrix
+
+    planes = planes_matrix(dim, n_planes)
+    bucket_terms = []
+    for p in range(n_planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(e, {lits}), "
+            "z -> z[1]*z[2]), 'sum')"
+        )
+        w = 1 << (n_planes - 1 - p)
+        bucket_terms.append(f"CASE WHEN {dot} > 0 THEN {w} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    flips = ", ".join(
+        f"({f})" for f in [0] + [1 << i for i in range(n_planes)]
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), cb AS (
+            SELECT vec_id, e, ({bucket})::BIGINT AS bucket FROM corpus
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, bucket FROM cb WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qe, xor(bucket, f.flip::BIGINT) AS probe
+            FROM q, (VALUES {flips}) f(flip)
+        ), cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id, p.qe, c.e
+            FROM probes p JOIN cb c ON c.bucket = p.probe
+        ), scored AS (
+            SELECT query_id, vec_id,
+                   list_aggregate(list_transform(list_zip(qe, e),
+                                  z -> z[1]*z[2]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(qe, x -> x*x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')))
+                   AS cos_raw
+            FROM cand
+        ), ranked AS (
+            SELECT query_id, vec_id, round(cos_raw, 4) AS cosine,
+                   cast(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -681,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {_HASH60.format(expr=_NORM)} AS content_hash,
                    count(*) AS n_docs,
-                   array_agg(doc_id ORDER BY doc_id) AS doc_ids,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
                    min(doc_id) AS keeper
             FROM docs2
             GROUP BY 1 HAVING count(*) > 1
@@ -693,9 +803,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "dedup_jaccard_pairs": f"""
-            WITH sh AS (
+            WITH sh0 AS (
                 SELECT doc_id, unnest({_SHINGLES}) AS shingle
                 FROM documents
+            ), tot AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), keep AS (
+                -- hub-shingle document-frequency cap (max_df_frac = 0.5)
+                SELECT shingle FROM sh0, tot
+                GROUP BY shingle, n_docs
+                HAVING count(*) <= ceil(0.5 * n_docs)
+            ), sh AS (
+                SELECT doc_id, shingle FROM sh0 SEMI JOIN keep USING (shingle)
             ), counts AS (
                 SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), inter AS (
@@ -714,6 +833,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        "dedup_simhash": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), h AS (
+                SELECT doc_id, {_HASH60.format(expr="shingle")} AS h FROM sh
+            ), bitsums AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+                GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0::BIGINT END)::BIGINT AS simhash
+            FROM bitsums GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_lsh_candidates": _lsh_candidates_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "ann_bruteforce_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -54,6 +54,7 @@ KNOWN_PREDS = {
     "READS_FROM",
     "WRITES_TO",
     "FLOWS_TO",
+    "HAS_MEDIA",
 }
 
 

@@ -36,6 +36,36 @@ def _code_text(spans: list) -> str:
     return "".join(s["text"] or "" for s in ordered if s["kind"] == "code")
 
 
+def _media_rows(spans: list, module_qn: str) -> list[dict]:
+    """media spans → ``media`` mentions carrying the concatenated-code line
+    at the interleave point, so the span-containment range join
+    (``plans/spans.py``) can attribute each asset to the tightest enclosing
+    definition downstream."""
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    out: list[dict] = []
+    line = 1
+    for s in ordered:
+        if s["kind"] == "code":
+            line += (s["text"] or "").count("\n")
+        elif s["kind"] == "media" and s["media_ref"]:
+            # the insertion point sits BETWEEN code lines (after line-1,
+            # before line): a definition owns the asset only if it spans
+            # both sides, so an asset between two top-level defs falls back
+            # to the module instead of sticking to the next def's first line
+            out.append(
+                {
+                    "kind": "media",
+                    "name": s["media_ref"],
+                    "parent_qn": module_qn,
+                    "parent_kind": "Module",
+                    "start_line": max(line - 1, 1),
+                    "end_line": line,
+                    "start_col": 0,
+                }
+            )
+    return out
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from code_graph_rag_spark.extract.pylite import module_qn_for
 
@@ -44,7 +74,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             module_qn, _ = module_qn_for(doc_id)
             text = _code_text(list(spans))
-            for m in parse_document(doc_id, text):
+            doc_rows = parse_document(doc_id, text)
+            if doc_rows and doc_rows[0].get("kind") == "module":
+                doc_rows.extend(_media_rows(list(spans), module_qn))
+            for m in doc_rows:
                 m["doc_id"] = doc_id
                 m["module_qn"] = module_qn
                 rows.append(m)

@@ -1,16 +1,24 @@
-"""Single-document mention extraction for a Python-like mini-language.
+"""Single-document mention extraction for Python (plus the interface/enum
+mini-language extensions exercised by the polyglot fixtures).
 
 This is the per-document "mention detection" kernel that runs inside the
 Arrow-batched ``mapInPandas`` UDF (see ``extract/mentions.py``). It has NO
 Spark dependency and NO cross-document state: everything that needs another
 file's knowledge (import verification, inheritance resolution, simple-name
-fallback, variant fan-out) is deliberately *not* done here — those are
-DataFrame joins downstream. That in-UDF/in-join boundary is the central
-architectural translation of the reference (SURVEY.md §2.12): the reference
-computes the same facts with tree-sitter + shared in-memory registries
-(``codebase_rag/parsers/definition_processor.py``, ``function_ingest.py``,
-``call_processor.py``); we compute the per-file facts here and the shared
-state as joins.
+fallback, variant fan-out, receiver-type class resolution) is deliberately
+*not* done here — those are DataFrame joins downstream. That in-UDF/in-join
+boundary is the central architectural translation of the reference
+(SURVEY.md §2.12): the reference computes the same facts with tree-sitter +
+shared in-memory registries (``codebase_rag/parsers/definition_processor.py``,
+``function_ingest.py``, ``call_processor.py``); we compute the per-file facts
+here and the shared state as joins.
+
+Parsing model: physical lines are first joined into **logical lines**
+(bracket continuations, backslash continuations, multi-line strings) so that
+multi-line ``def`` headers, parenthesized multi-line imports and decorators
+with multi-line arguments parse exactly like their single-line forms.
+String literals (escape-aware, including mid-statement triple-quote opens)
+and comments are blanked before any structural regex runs.
 
 Semantics mirrored from the reference (each cited where implemented):
 
@@ -24,6 +32,15 @@ Semantics mirrored from the reference (each cited where implemented):
   (``call_processor.py:1398-1660``);
 * caller-sensitive resolution hints (enclosing-scope rung, class-context
   rung of ``call_resolver.py:721-974``) computed per-document;
+* **local variable type inference** (``parsers/type_inference.py``,
+  consumed at ``call_processor.py:2815-2822``): ``v = Circle()`` /
+  annotated params / ``self.attr = Circle()`` type the receiver of
+  ``v.area()`` — the kernel emits the *as-written* type-source expression
+  (``recv_expr``); the class itself resolves downstream by joins;
+* **return-type facts** (``call_resolver.py:833-850`` chained-call
+  inference): ``return Circle()`` and ``-> Circle`` annotations emit
+  ``returns`` mentions so ``v = make(); v.area()`` and ``make().area()``
+  resolve through a (function → returned class) join;
 * base-class list order preserved as ``base_index``
   (``graph_updater.py:1195-1225``).
 """
@@ -40,11 +57,18 @@ KEYWORDS = frozenset(
     nonlocal await async match case True False None""".split()
 )
 
-_DEF_RE = re.compile(r"^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(")
-_CLASS_RE = re.compile(
-    r"^(\s*)(class|interface|enum)\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:"
+# [^\W\d]\w* = unicode-aware identifier (re is unicode by default on str)
+_ID = r"[^\W\d]\w*"
+_DOTTED = rf"{_ID}(?:\.{_ID})*"
+
+_DEF_RE = re.compile(rf"^(\s*)(?:async\s+)?def\s+({_ID})\s*\(")
+_DEF_HEADER_RE = re.compile(
+    rf"^\s*(?:async\s+)?def\s+{_ID}\s*\((.*)\)\s*(?:->\s*([^:]+))?:", re.DOTALL
 )
-_SUPER_RE = re.compile(r"(?<![\w.])super\s*\(\s*\)\s*\.\s*([A-Za-z_]\w*)\s*\(")
+_CLASS_RE = re.compile(
+    rf"^(\s*)(class|interface|enum)\s+({_ID})\s*(?:\(([^)]*)\))?\s*:"
+)
+_SUPER_RE = re.compile(rf"(?<![\w.])super\s*\(\s*\)\s*\.\s*({_ID})\s*\(")
 _LAMBDA_RE = re.compile(r"(?<!\w)lambda[\s:]")
 _ALL_RE = re.compile(
     r"^__all__\s*(?:\:[^=]+)?=\s*[\[\(](.*?)[\]\)]", re.MULTILINE | re.DOTALL
@@ -60,9 +84,23 @@ MANIFEST_FILES = {
 _IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
 _FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
 _DECOR_RE = re.compile(r"^(\s*)@\s*([\w.]+)")
-_CALL_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(")
-_IDENT_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\b")
-_STR_RE = re.compile(r"('''|\"\"\"|'|\")")
+_CALL_RE = re.compile(rf"(?<![\w.])({_DOTTED})\s*\(")
+# Expr(...).method( — chained call on a ctor/function result; [^()]* keeps the
+# arg match conservative (nested-paren args fall back to the plain call rows)
+_CHAIN_RE = re.compile(rf"(?<![\w.])({_DOTTED})\s*\([^()]*\)\s*\.\s*({_ID})\s*\(")
+_IDENT_RE = re.compile(rf"(?<![\w.])({_ID})\b")
+# assignments: var [: ann] = [await] rhs   (…=(?!=) excludes == comparisons)
+_ASSIGN_RE = re.compile(rf"^({_ID})\s*(?::[^=]+?)?\s*=(?![=<>!])\s*(?:await\s+)?(.*)$")
+_SELF_ASSIGN_RE = re.compile(
+    rf"^self\.({_ID})\s*(?::[^=]+?)?\s*=(?![=<>!])\s*(?:await\s+)?(.*)$"
+)
+_CTOR_RE = re.compile(rf"^({_DOTTED})\s*\(")
+_RETURN_RE = re.compile(rf"^return\s+(?:await\s+)?({_DOTTED})\s*\(")
+_PARAM_ANN_RE = re.compile(rf"^\s*\*{{0,2}}({_ID})\s*:\s*({_DOTTED})\s*(?:=.*)?$")
+_STR_STMT_RE = re.compile(r"^[rbufRBUF]{0,3}('''|\"\"\"|'|\")")
+
+_OPENERS = frozenset("([{")
+_CLOSERS = frozenset(")]}")
 
 
 def module_qn_for(doc_id: str) -> tuple[str, str]:
@@ -83,6 +121,13 @@ def module_qn_for(doc_id: str) -> tuple[str, str]:
     return ".".join(qn_parts), project
 
 
+def _is_index_doc(doc_id: str) -> bool:
+    stem = doc_id.rsplit("/", 1)[-1]
+    dot = stem.rfind(".")
+    base = stem[:dot] if dot > 0 else stem
+    return base in ("__init__", "mod", "index")
+
+
 def doc_extension(doc_id: str) -> str:
     stem = doc_id.rsplit("/", 1)[-1]
     dot = stem.rfind(".")
@@ -99,29 +144,144 @@ class _Scope:
     children: set[str] = field(default_factory=set)
 
 
-def _strip_strings_and_comments(line: str) -> str:
+def _find_quote_end(line: str, start: int, quote: str) -> int:
+    """Index just past the closing quote, honoring backslash escapes;
+    -1 if unterminated on this line."""
+    i, n, ql = start, len(line), len(quote)
+    while i < n:
+        if line[i] == "\\":
+            i += 2
+            continue
+        if line.startswith(quote, i):
+            return i + ql
+        i += 1
+    return -1
+
+
+def _strip_strings_and_comments(line: str) -> tuple[str, str | None]:
     """Blank out string-literal contents and trailing comments so the call
-    regex never fires inside them. Single-line approximation; triple-quoted
-    blocks are handled by the caller's line loop."""
+    regex never fires inside them.
+
+    Returns ``(cleaned_line, open_triple)`` where ``open_triple`` is the
+    quote style of a triple-quoted string that OPENED on this line without
+    closing (including mid-statement opens like ``x = '''...``) — the caller
+    must treat following lines as string content until it closes."""
     out = []
     i, n = 0, len(line)
+    open_triple: str | None = None
     while i < n:
         ch = line[i]
         if ch == "#":
             break
         if ch in ("'", '"'):
             quote = line[i : i + 3] if line[i : i + 3] in ("'''", '"""') else ch
-            j = line.find(quote, i + len(quote))
-            if j == -1:
+            end = _find_quote_end(line, i + len(quote), quote)
+            if end == -1:
+                if len(quote) == 3:
+                    open_triple = quote
                 out.append(" " * (n - i))
                 i = n
                 break
-            out.append(quote + " " * (j - i - len(quote)) + quote)
-            i = j + len(quote)
+            out.append(quote + " " * (end - i - 2 * len(quote)) + quote)
+            i = end
             continue
         out.append(ch)
         i += 1
-    return "".join(out)
+    return "".join(out), open_triple
+
+
+def _net_depth(clean: str) -> int:
+    d = 0
+    for ch in clean:
+        if ch in _OPENERS:
+            d += 1
+        elif ch in _CLOSERS:
+            d -= 1
+    return d
+
+
+def _logical_lines(lines: list[str]) -> list[tuple[int, str, str]]:
+    """Join physical lines into logical statements.
+
+    Returns ``[(start_line_no, raw_first_line, clean_joined)]`` where
+    ``clean_joined`` has strings/comments blanked and continuation lines
+    (open brackets, trailing backslash, multi-line strings) merged. A pure
+    multi-line-string statement (e.g. a docstring) yields ``clean_joined=''``
+    with the raw first line preserved for docstring capture.
+    """
+    out: list[tuple[int, str, str]] = []
+    in_triple: str | None = None
+    parts: list[str] = []
+    raw_first = ""
+    start = 0
+    depth = 0
+    cont = False
+
+    def flush() -> None:
+        nonlocal parts, depth, cont
+        if parts:
+            out.append((start, raw_first, " ".join(parts)))
+        parts, depth, cont = [], 0, False
+
+    for idx, raw in enumerate(lines):
+        ln = idx + 1
+        if in_triple is not None:
+            pos = raw.find(in_triple)
+            # honor escaped quotes inside the open string
+            while pos > 0 and raw[pos - 1] == "\\":
+                pos = raw.find(in_triple, pos + 1)
+            if pos == -1:
+                continue
+            rest = raw[pos + 3 :]
+            clean, opened = _strip_strings_and_comments(rest)
+            in_triple = opened
+            if parts:
+                c = clean.rstrip()
+                cont = c.endswith("\\")
+                parts.append(c[:-1] if cont else clean)
+                depth += _net_depth(clean)
+                if depth <= 0 and not cont and in_triple is None:
+                    flush()
+            elif clean.strip():
+                out.append((ln, rest, clean))
+            continue
+
+        clean, opened = _strip_strings_and_comments(raw)
+        if opened:
+            in_triple = opened
+        if not parts:
+            if not clean.strip():
+                if opened:
+                    # pure unterminated-string statement (docstring start)
+                    out.append((ln, raw, ""))
+                continue
+            start, raw_first = ln, raw
+        c = clean.rstrip()
+        cont = c.endswith("\\")
+        parts.append(c[:-1] if cont else clean)
+        depth += _net_depth(clean)
+        if depth <= 0 and not cont and in_triple is None:
+            flush()
+    flush()
+    return out
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside brackets (strings already blanked)."""
+    parts, buf, d = [], [], 0
+    for ch in s:
+        if ch in _OPENERS:
+            d += 1
+        elif ch in _CLOSERS:
+            d -= 1
+        if ch == "," and d == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
 
 
 def _parse_manifest(doc_id: str, text: str, flavor: str) -> list[dict]:
@@ -189,6 +349,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         return _parse_manifest(doc_id, code_text, MANIFEST_FILES[basename])
 
     module_qn, project = module_qn_for(doc_id)
+    is_index = _is_index_doc(doc_id)
     lines = code_text.split("\n")
     mentions: list[dict] = []
 
@@ -198,7 +359,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         all_line = code_text.count("\n", 0, am.start()) + 1
         for part in am.group(1).split(","):
             sym = part.strip().strip("'\"")
-            if sym and re.fullmatch(r"[A-Za-z_]\w*", sym):
+            if sym and re.fullmatch(_ID, sym):
                 mentions.append(
                     {
                         "kind": "export",
@@ -220,7 +381,16 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
     pending_docstring_for: dict | None = None
 
     call_rows: list[dict] = []  # resolved-later call/ref mentions
-    in_triple: str | None = None
+    # --- type-inference state (reference parsers/type_inference.py) ---
+    # scope qn → [(line, var, ctor_expr_or_None)] in statement order;
+    # a non-ctor rebind records None (drops the type)
+    scope_assigns: dict[str, list[tuple[int, str, str | None]]] = {}
+    # scope qn → {param: annotated type expr}
+    param_types: dict[str, dict[str, str]] = {}
+    # class qn → {attr: ctor expr} for self.attr = Ctor() (last wins)
+    class_attr_types: dict[str, dict[str, str]] = {}
+    # (function qn, returned ctor/annotation expr) facts
+    return_facts: set[tuple[str, str]] = set()
 
     def scope_pop_to(indent: int, line_no: int) -> None:
         while len(stack) > 1 and indent <= stack[-1].indent:
@@ -230,44 +400,31 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             row, _ = open_defs.pop()
             row["end_line"] = line_no - 1
 
-    for idx, raw in enumerate(lines):
-        line_no = idx + 1
-        if in_triple is not None:
-            pos = raw.find(in_triple)
-            if pos != -1:
-                in_triple = None
-            continue
-        if not raw.strip():
-            continue
-        indent = len(raw) - len(raw.lstrip())
-        line = _strip_strings_and_comments(raw)
+    for line_no, raw, line in _logical_lines(lines):
         stripped = line.strip()
-        if not stripped:
-            # line was pure comment/string noise
-            rs = raw.strip()
-            if rs.startswith(("'''", '"""')) and not (
-                rs.endswith(("'''", '"""')) and len(rs) >= 6
-            ):
-                in_triple = rs[:3]
-            continue
 
         # docstring capture: first statement after a def/class header
         if pending_docstring_for is not None:
             rs = raw.strip()
-            if rs.startswith(("'''", '"""')):
-                quote = rs[:3]
+            sm = _STR_STMT_RE.match(rs)
+            if sm and (not stripped or stripped.lstrip("rbufRBUF")[:1] in ("'", '"')):
+                quote = sm.group(1)
+                body = rs[sm.end() :]
                 props = json.loads(pending_docstring_for["props"] or "{}")
-                body = rs[3:]
-                if body.endswith(quote) and len(rs) >= 6:
+                if len(quote) == 3 and body.endswith(quote) and len(body) >= 3:
                     props["docstring"] = body[: -len(quote)].strip()
-                else:
+                elif len(quote) == 3:
                     props["docstring"] = body.strip()
-                    in_triple = quote
+                else:
+                    props["docstring"] = body[: max(body.rfind(quote), 0)].strip()
                 pending_docstring_for["props"] = json.dumps(props, sort_keys=True)
                 pending_docstring_for = None
                 continue
             pending_docstring_for = None
+        if not stripped:
+            continue
 
+        indent = len(raw) - len(raw.lstrip())
         scope_pop_to(indent, line_no)
         parent = stack[-1]
 
@@ -303,6 +460,16 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             children[qn] = scope.children
             pending_decorators = []
             pending_docstring_for = row
+            # annotated params + return annotation (type-inference sources)
+            hm = _DEF_HEADER_RE.match(line)
+            if hm:
+                for arg in _split_top_level(hm.group(1) or ""):
+                    pm = _PARAM_ANN_RE.match(arg)
+                    if pm and pm.group(2) not in KEYWORDS:
+                        param_types.setdefault(qn, {})[pm.group(1)] = pm.group(2)
+                ret = (hm.group(2) or "").strip()
+                if ret and re.fullmatch(_DOTTED, ret) and ret not in KEYWORDS:
+                    return_facts.add((qn, ret))
             continue
 
         m = _CLASS_RE.match(line)
@@ -332,6 +499,8 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                 base_name = base.split("=")[-1].strip()  # metaclass= noise
                 if not base_name or base_name in KEYWORDS:
                     continue
+                if not re.fullmatch(_DOTTED, base_name):
+                    continue  # subscripted generics etc.
                 mentions.append(
                     {
                         "kind": "inherit",
@@ -366,6 +535,8 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     # `import a.b` binds root `a` (reference
                     # import_processor.py python semantics)
                     local, bind_target = target.split(".")[0], target.split(".")[0]
+                if not re.fullmatch(_DOTTED, target):
+                    continue
                 mentions.append(
                     {
                         "kind": "import",
@@ -385,11 +556,12 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         if m:
             rel_dots, src_mod, names = m.group(2), m.group(3), m.group(4)
             if rel_dots:
-                # relative import: anchor to the current module's package
+                # relative import anchoring: one dot = the current package.
+                # For an index file the module QN *is* the package
+                # (module_qn_for collapsed it), so strip one level fewer
+                # (reference import_processor relative semantics; ADVICE r1)
                 base_parts = module_qn.split(".")
-                # one dot = current package (module's parent), each extra
-                # dot climbs one more level
-                up = len(rel_dots)
+                up = len(rel_dots) - (1 if is_index else 0)
                 anchor = base_parts[: max(1, len(base_parts) - up)]
                 target_mod = ".".join(anchor + (src_mod.split(".") if src_mod else []))
             else:
@@ -403,6 +575,8 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     symbol, local = (s.strip() for s in clause.split(" as ", 1))
                 else:
                     symbol = local = clause
+                if not re.fullmatch(_ID, symbol):
+                    continue
                 mentions.append(
                     {
                         "kind": "import",
@@ -424,6 +598,23 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         # scope (graph-schema: CALLS sources are Module/Function/Method)
         caller = next(s for s in reversed(stack) if s.kind != "class")
         cls_scope = next((s.qn for s in reversed(stack) if s.kind == "class"), None)
+
+        # --- type-inference fact collection ---
+        am = _ASSIGN_RE.match(stripped)
+        if am and am.group(1) not in KEYWORDS:
+            cm = _CTOR_RE.match(am.group(2).strip())
+            scope_assigns.setdefault(caller.qn, []).append(
+                (line_no, am.group(1), cm.group(1) if cm else None)
+            )
+        sm2 = _SELF_ASSIGN_RE.match(stripped)
+        if sm2 and cls_scope:
+            cm = _CTOR_RE.match(sm2.group(2).strip())
+            if cm and cm.group(1).split(".")[0] not in KEYWORDS:
+                class_attr_types.setdefault(cls_scope, {})[sm2.group(1)] = cm.group(1)
+        rm = _RETURN_RE.match(stripped)
+        if rm and caller.kind in ("function", "method"):
+            if rm.group(1).split(".")[0] not in KEYWORDS:
+                return_facts.add((caller.qn, rm.group(1)))
 
         # anonymous functions: lambda_<line>_<col> (function_ingest.py:
         # 1160-1163); attached by DEFINES to the enclosing scope
@@ -482,6 +673,29 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     ),
                 }
             )
+        # chained call on a call result: Expr(...).m() — receiver type is
+        # "class Expr" or "return type of Expr" (call_resolver.py:833-850);
+        # the downstream type rung arbitrates, and a dotted callee can never
+        # fall to the simple-name trie (the reference's drop rule)
+        for chm in _CHAIN_RE.finditer(line):
+            expr, meth = chm.group(1), chm.group(2)
+            if expr.split(".")[0] in KEYWORDS or expr.split(".")[0] == "super":
+                continue
+            call_rows.append(
+                {
+                    "kind": "call",
+                    "parent_qn": caller.qn,
+                    "parent_kind": caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": chm.start(1),
+                    "callee": f"{expr}().{meth}",
+                    "recv_expr": expr,
+                    "_caller_stack": [s.qn for s in stack if s.kind != "class"],
+                    "_class_qn": next(
+                        (s.qn for s in reversed(stack) if s.kind == "class"), None
+                    ),
+                }
+            )
         # bare references (identifier not followed by '(' and not part of a
         # call's dotted path) — resolved downstream like calls but emitted
         # as REFERENCES (reference call_processor first-class refs)
@@ -533,6 +747,19 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
     )
     mentions.extend(def_rows)
 
+    # return-type facts → `returns` mentions (resolved to a Class downstream)
+    for fqn, expr in sorted(return_facts):
+        mentions.append(
+            {
+                "kind": "returns",
+                "parent_qn": fqn,
+                "parent_kind": "Function",
+                "callee": expr,
+                "start_line": 0,
+                "start_col": 0,
+            }
+        )
+
     # --- second pass: caller-sensitive hints for calls/refs -----------------
     file_def_names = {r["name"] for r in def_rows}
     # imported local names: a bare reference to one is a first-class use of
@@ -540,6 +767,24 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
     file_def_names |= {
         m["local_name"] for m in mentions if m.get("kind") == "import"
     }
+
+    def _lookup_var_type(
+        stack_qns: list[str], var: str, at_line: int
+    ) -> str | None:
+        """Innermost scope owning ``var`` decides its type: latest ctor
+        assignment at/before the use line, else an annotated parameter.
+        A scope that assigns the var anywhere owns it (Python locals rule)
+        — an out-of-ladder later assignment yields unknown, never outer."""
+        for sq in reversed(stack_qns):
+            assigns = [a for a in scope_assigns.get(sq, ()) if a[1] == var]
+            if assigns:
+                before = [a for a in assigns if a[0] <= at_line]
+                return before[-1][2] if before else None
+            pt = param_types.get(sq, {}).get(var)
+            if pt is not None:
+                return pt
+        return None
+
     for c in call_rows:
         callee = c["callee"]
         first = callee.split(".")[0]
@@ -551,6 +796,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             # import-alias join on the call frame, so keep those too
             # (conservative: drop unknown bare identifiers — variables)
             continue
+        segs = callee.split(".")
         if "." not in callee:
             # enclosing-scope ladder rung (call_resolver.py:347-401): walk
             # function scopes innermost→outermost, excluding module scope
@@ -565,6 +811,23 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             if "." not in rest:
                 # self-sibling method rung (call_resolver.py:909-912)
                 c["class_ctx_hint"] = f"{class_qn}.{rest}"
+            elif len(segs) == 3:
+                # self.attr.m(): receiver typed by self.attr = Ctor()
+                # (reference type_inference class-attribute types)
+                attr_t = class_attr_types.get(class_qn, {}).get(segs[1])
+                if attr_t:
+                    c["recv_expr"] = attr_t
+        elif (
+            c["kind"] == "call"
+            and len(segs) == 2
+            and "recv_expr" not in c
+            and first not in file_def_names
+        ):
+            # v.m(): local-variable receiver type (type_inference.py,
+            # consumed at call_processor.py:2815-2822)
+            t = _lookup_var_type(stack_qns, first, c["start_line"])
+            if t:
+                c["recv_expr"] = t
         mentions.append(c)
 
     return mentions

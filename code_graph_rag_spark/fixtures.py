@@ -79,7 +79,10 @@ POLYGLOT_DOCS = [
     # media + docstring spans interleaved — must pass through untouched
     _doc(
         "poly/shapes.py",
-        code("class Shape:\n    def area(self):\n        pass\n\n"),
+        code(
+            "class Shape:\n    def area(self):\n        pass\n"
+            "    def ident(self):\n        return self\n\n"
+        ),
         media("assets/shape-diagram.png"),
         code(
             "class Circle(Shape):\n    def area(self):\n        return 3\n\n"
@@ -149,6 +152,47 @@ POLYGLOT_DOCS = [
     ),
     # dependency manifest
     _doc("poly/requirements.txt", code("numpy==1.26\nrequests>=2.0\n")),
+    # media span INSIDE a function body (true interleaving): the span-
+    # containment range join must attribute the asset to render_doc, not
+    # the module
+    _doc(
+        "poly/media.py",
+        code("def render_doc():\n    a = 1\n"),
+        media("assets/inline-figure.png"),
+        code("    return a\n"),
+    ),
+    # MRO sibling shadow: SearchMixin.combine shadows Combinable.combine
+    # only inside Search's MRO (reference method_override.py:70-153, the
+    # django SearchVector._combine case)
+    _doc(
+        "poly/mixin.py",
+        code(
+            "class Combinable:\n    def combine(self):\n        return 0\n\n"
+            "class SearchMixin:\n    def combine(self):\n        return 1\n\n"
+            "class Search(SearchMixin, Combinable):\n    pass\n"
+        ),
+    ),
+    # local-variable / parameter / return type inference + chained calls +
+    # recursion (reference parsers/type_inference.py, call_resolver.py:833-850,
+    # tests/test_nested_local_function_calls.py:50-60)
+    _doc(
+        "poly/typing.py",
+        code(
+            "from poly.shapes import Circle, Shape\n\n"
+            "def make():\n    return Circle()\n\n"
+            "def use_local():\n"
+            "    c = Circle()\n"
+            "    c.area()\n"
+            "    c.ident()\n"
+            "    return c\n\n"
+            "def use_returned():\n    m = make()\n    m.area()\n\n"
+            "def use_chained():\n    make().area()\n    Circle().area()\n\n"
+            "def use_param(s: Shape):\n    s.area()\n\n"
+            "def rebound():\n    c = Circle()\n    c = 5\n    c.area()\n\n"
+            "def use_untyped():\n    h = helper_obj()\n    h.get()\n\n"
+            "def recurse(n):\n    if n:\n        recurse(n - 1)\n"
+        ),
+    ),
 ]
 
 # Hand-derived from the reference's documented semantics (each rule cited in
@@ -160,6 +204,7 @@ POLYGLOT_EXPECTED = {
     ("poly.shapes", "DEFINES", "poly.shapes.Square"),
     ("poly.shapes", "DEFINES", "poly.shapes.FancySquare"),
     ("poly.shapes.Shape", "DEFINES_METHOD", "poly.shapes.Shape.area"),
+    ("poly.shapes.Shape", "DEFINES_METHOD", "poly.shapes.Shape.ident"),
     ("poly.shapes.Circle", "DEFINES_METHOD", "poly.shapes.Circle.area"),
     ("poly.shapes.Square", "DEFINES_METHOD", "poly.shapes.Square.area"),
     ("poly.shapes.FancySquare", "DEFINES_METHOD", "poly.shapes.FancySquare.area"),
@@ -224,6 +269,47 @@ POLYGLOT_EXPECTED = {
     # dependency manifest
     ("poly", "DEPENDS_ON_EXTERNAL", "numpy"),
     ("poly", "DEPENDS_ON_EXTERNAL", "requests"),
+    # --- media attribution (poly/media.py) ---
+    ("poly.media", "DEFINES", "poly.media.render_doc"),
+    # --- MRO sibling shadow (poly/mixin.py) ---
+    ("poly.mixin", "DEFINES", "poly.mixin.Combinable"),
+    ("poly.mixin", "DEFINES", "poly.mixin.SearchMixin"),
+    ("poly.mixin", "DEFINES", "poly.mixin.Search"),
+    ("poly.mixin.Combinable", "DEFINES_METHOD", "poly.mixin.Combinable.combine"),
+    ("poly.mixin.SearchMixin", "DEFINES_METHOD", "poly.mixin.SearchMixin.combine"),
+    ("poly.mixin.Search", "INHERITS", "poly.mixin.SearchMixin"),
+    ("poly.mixin.Search", "INHERITS", "poly.mixin.Combinable"),
+    # the mixin shadows the sibling branch's same-name method in Search's MRO
+    ("poly.mixin.SearchMixin.combine", "OVERRIDES", "poly.mixin.Combinable.combine"),
+    # --- type inference corpus (poly/typing.py) ---
+    ("poly.typing", "IMPORTS", "poly.shapes"),
+    ("poly.typing", "DEFINES", "poly.typing.make"),
+    ("poly.typing", "DEFINES", "poly.typing.use_local"),
+    ("poly.typing", "DEFINES", "poly.typing.use_returned"),
+    ("poly.typing", "DEFINES", "poly.typing.use_chained"),
+    ("poly.typing", "DEFINES", "poly.typing.use_param"),
+    ("poly.typing", "DEFINES", "poly.typing.rebound"),
+    ("poly.typing", "DEFINES", "poly.typing.use_untyped"),
+    ("poly.typing", "DEFINES", "poly.typing.recurse"),
+    ("poly.typing.make", "INSTANTIATES", "poly.shapes.Circle"),
+    ("poly.typing.use_local", "INSTANTIATES", "poly.shapes.Circle"),
+    ("poly.typing.use_chained", "INSTANTIATES", "poly.shapes.Circle"),
+    ("poly.typing.rebound", "INSTANTIATES", "poly.shapes.Circle"),
+    # v = Circle(); v.area() → Circle.area (local var type inference)
+    ("poly.typing.use_local", "CALLS", "poly.shapes.Circle.area"),
+    # typed receiver method provided by an ancestor (Shape.ident)
+    ("poly.typing.use_local", "CALLS", "poly.shapes.Shape.ident"),
+    # m = make(); m.area() → return-type inference through make
+    ("poly.typing.use_returned", "CALLS", "poly.typing.make"),
+    ("poly.typing.use_returned", "CALLS", "poly.shapes.Circle.area"),
+    # chained make().area() / Circle().area()
+    ("poly.typing.use_chained", "CALLS", "poly.typing.make"),
+    ("poly.typing.use_chained", "CALLS", "poly.shapes.Circle.area"),
+    # annotated parameter: def use_param(s: Shape)
+    ("poly.typing.use_param", "CALLS", "poly.shapes.Shape.area"),
+    # direct recursion IS an edge (reference
+    # tests/test_nested_local_function_calls.py:50-60)
+    ("poly.typing.recurse", "CALLS", "poly.typing.recurse"),
 }
 
 # triples our engine must NOT emit (suppression / precision checks)
@@ -236,6 +322,16 @@ POLYGLOT_FORBIDDEN = {
     ("poly.render.BigDisk.draw", "CALLS", "poly.render.Disk.render"),
     # non-__all__ symbols are not exported
     ("poly.pub", "EXPORTS", "poly.pub.hidden"),
+    # rebinding a typed var to a non-ctor drops the type — no edge
+    ("poly.typing.rebound", "CALLS", "poly.shapes.Circle.area"),
+    # a dotted callee on an unknown receiver NEVER falls back to a
+    # simple-name match (the reference's chained-call drop rule)
+    ("poly.typing.use_untyped", "CALLS", "poly.ext.get"),
+    # typed rungs must prefer the receiver class over its ancestor
+    ("poly.typing.use_local", "CALLS", "poly.shapes.Shape.area"),
+    ("poly.typing.use_returned", "CALLS", "poly.shapes.Shape.area"),
+    # MRO shadow must point mixin → sibling, never reversed
+    ("poly.mixin.Combinable.combine", "OVERRIDES", "poly.mixin.SearchMixin.combine"),
 }
 
 

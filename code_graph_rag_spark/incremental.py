@@ -34,8 +34,141 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from code_graph_rag_spark.extract.mentions import extract_mentions
-from code_graph_rag_spark.pipeline import GraphResult, build_graph_from_mentions
+from code_graph_rag_spark.pipeline import (
+    GraphResult,
+    _materialize,
+    assemble_graph,
+    build_graph_from_mentions,
+    disambiguate_modules,
+)
+from code_graph_rag_spark.plans.variants import mint_entities
 from code_graph_rag_spark.schema import MENTIONS_SCHEMA
+
+_DEF_KINDS = ("module", "function", "class", "method", "interface", "enum")
+
+
+def _last_seg(col: str):
+    return F.element_at(F.split(F.col(col), "\\."), -1)
+
+
+def blast_radius(
+    old_mentions: DataFrame,
+    spliced: DataFrame,
+    ch_docs: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Docs whose emitted edges could differ from the previous build.
+
+    The resolution ladder can only produce a different answer for a mention
+    if some rung's *target name* changed: every rung's candidate QN ends
+    with either the callee's last segment or an imported symbol's name. So
+    the blast radius is computable by name, declaratively:
+
+    1. qn-changing docs (QCD): changed ∪ deleted docs, plus docs whose
+       module_qn collides with one (their variant/disambiguation winners
+       may flip);
+    2. name delta: entity names + qns defined in QCD (old ∪ new versions);
+    3. resolvers: docs with a call/ref/inherit mention whose callee last
+       segment is in the delta, an import naming it, a definition sharing a
+       delta name (their OVERRIDES target can change) or qn (variant
+       partitions), or a colliding module;
+    4. inheritance descent: docs inheriting (transitively) from a delta
+       class — their closure-derived edges (super()/OVERRIDES/MRO) change.
+
+    Every step is a semi-join of the mention table against a small
+    broadcast name set: the big table is scanned, never shuffled, and only
+    matching rows move (the O(changed) contract).
+    """
+    # 1. QCD: changed ∪ deleted ∪ module-qn collision partners
+    ch_mods = (
+        old_mentions.unionByName(spliced)
+        .join(ch_docs, "doc_id", "left_semi")
+        .filter(F.col("kind") == "module")
+        .select(F.col("qn").alias("mqn"))
+        .distinct()
+    )
+    colliders = (
+        spliced.filter(F.col("kind") == "module")
+        .join(F.broadcast(ch_mods), F.col("qn") == F.col("mqn"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    qcd = ch_docs.unionByName(colliders).distinct().localCheckpoint(eager=True)
+
+    # 2. name/qn delta from old + new versions of QCD docs
+    delta_defs = (
+        old_mentions.unionByName(spliced)
+        .join(qcd, "doc_id", "left_semi")
+        .filter(F.col("kind").isin(*_DEF_KINDS))
+    )
+    names = delta_defs.select(F.col("name").alias("n")).where(
+        F.col("n").isNotNull()
+    ).distinct().localCheckpoint(eager=True)
+    qns = delta_defs.select(F.col("qn").alias("dq")).distinct()
+
+    # 3. resolvers
+    callers = (
+        spliced.filter(F.col("kind").isin("call", "ref", "inherit"))
+        .join(F.broadcast(names), _last_seg("callee") == F.col("n"), "left_semi")
+        .select("doc_id")
+    )
+    importers = (
+        spliced.filter(F.col("kind") == "import")
+        .join(
+            F.broadcast(names),
+            (F.col("name") == F.col("n"))
+            | (_last_seg("target") == F.col("n")),
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    def_sharers = (
+        spliced.filter(F.col("kind").isin(*_DEF_KINDS))
+        .join(F.broadcast(names), F.col("name") == F.col("n"), "left_semi")
+        .select("doc_id")
+    )
+    qn_sharers = (
+        spliced.filter(F.col("kind").isin(*_DEF_KINDS))
+        .join(F.broadcast(qns), F.col("qn") == F.col("dq"), "left_semi")
+        .select("doc_id")
+    )
+    affected = (
+        qcd.unionByName(callers)
+        .unionByName(importers)
+        .unionByName(def_sharers)
+        .unionByName(qn_sharers)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # 4. inheritance descent to fixpoint (bounded like the ancestor closure)
+    frontier = names
+    seen = names
+    for _ in range(max_depth):
+        hit_docs = (
+            spliced.filter(F.col("kind") == "inherit")
+            .join(
+                F.broadcast(frontier),
+                _last_seg("callee") == F.col("n"),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        new_names = (
+            spliced.filter(F.col("kind").isin("class", "interface", "enum"))
+            .join(hit_docs, "doc_id", "left_semi")
+            .select(F.col("name").alias("n"))
+            .distinct()
+            .join(seen, "n", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        affected = affected.unionByName(hit_docs).distinct()
+        if new_names.isEmpty():
+            break
+        seen = seen.unionByName(new_names).localCheckpoint(eager=True)
+        frontier = new_names
+    return affected.localCheckpoint(eager=True)
 
 
 def doc_hashes(documents: DataFrame) -> DataFrame:
@@ -139,6 +272,13 @@ class StageStore:
         return json.loads(p.read_text()) if p.exists() else {}
 
 
+def _write_graph_stages(store: StageStore, g: GraphResult) -> None:
+    store.write_stage("entities", g.entities)
+    store.write_stage("edges_prov", g.edges_prov)
+    store.write_stage("nodes", g.nodes)
+    store.write_stage("edges", g.edges)
+
+
 def full_build(
     spark: SparkSession, documents: DataFrame, store: StageStore
 ) -> GraphResult:
@@ -148,19 +288,29 @@ def full_build(
     store.write_stage("mentions", raw)
     mentions = store.read_stage(spark, "mentions")
     g = build_graph_from_mentions(mentions)
-    store.write_stage("nodes", g.nodes)
-    store.write_stage("edges", g.edges)
+    _write_graph_stages(store, g)
     return g
 
 
 def incremental_build(
-    spark: SparkSession, new_documents: DataFrame, store: StageStore
+    spark: SparkSession,
+    new_documents: DataFrame,
+    store: StageStore,
+    scope_threshold: float = 0.5,
 ) -> tuple[GraphResult, dict]:
     """Incremental sync against the persisted stages.
 
     Returns (graph, stats). Falls back to a full build when no previous
     state exists (``has_stage`` doubles as the resume probe: a run killed
-    after the mentions stage resumes from it for free)."""
+    after the mentions stage resumes from it for free).
+
+    When the previous entity/edge-provenance stages exist, the join phase
+    runs SCOPED: only the blast-radius docs' mentions re-enter the ladder;
+    everything else is a per-doc delete+insert on the provenance table (the
+    reference's inbound-edge capture/restore, ``graph_updater.py:1227-1284``,
+    re-expressed as keep/recompute by ``src_doc``). ``scope_threshold``
+    falls back to the full join phase when the radius covers most docs.
+    """
     if not (store.has_stage("doc_hashes") and store.has_stage("mentions")):
         g = full_build(spark, new_documents, store)
         return g, {"mode": "full"}
@@ -168,6 +318,7 @@ def incremental_build(
     old_hashes = store.read_stage(spark, "doc_hashes")
     changed, deleted = diff_documents(old_hashes, new_documents)
     changed = changed.persist()
+    deleted = deleted.persist()
     n_changed = changed.count()
     n_deleted = deleted.count()
 
@@ -192,9 +343,57 @@ def incremental_build(
         "doc_hashes", doc_hashes(new_documents), changed=n_changed, deleted=n_deleted
     )
     store.write_stage("mentions", mentions)
-    mentions = store.read_stage(spark, "mentions")
-    g = build_graph_from_mentions(mentions)
-    store.write_stage("nodes", g.nodes)
-    store.write_stage("edges", g.edges)
+    spliced = store.read_stage(spark, "mentions")
+    stats: dict = {"changed": n_changed, "deleted": n_deleted}
+
+    scoped_ok = store.has_stage("entities") and store.has_stage("edges_prov")
+    if scoped_ok:
+        ch_docs = changed.unionByName(deleted).distinct()
+        affected = blast_radius(old_mentions, spliced, ch_docs)
+        n_affected = affected.count()
+        n_total = spliced.select("doc_id").distinct().count()
+        stats.update(scoped_docs=n_affected, total_docs=n_total)
+        if n_affected > scope_threshold * n_total:
+            scoped_ok = False
+            stats["mode"] = "incremental_full_join"
+    else:
+        stats["mode"] = "incremental_full_join"
+
+    if scoped_ok:
+        old_entities = store.read_stage(spark, "entities")
+        old_prov = store.read_stage(spark, "edges_prov")
+        scoped_raw = spliced.join(affected, "doc_id", "left_semi")
+        scoped_mentions = _materialize(
+            disambiguate_modules(scoped_raw), "scoped-mentions"
+        )
+        stats["scoped_mention_rows"] = scoped_mentions.count()
+        entities = _materialize(
+            old_entities.join(affected, "doc_id", "left_anti").unionByName(
+                mint_entities(scoped_mentions)
+            ),
+            "entities-merged",
+        )
+        kept = (
+            old_prov.filter(F.col("src_doc").isNotNull())
+            .join(affected, old_prov["src_doc"] == affected["doc_id"], "left_anti")
+            .join(
+                spliced.select(F.col("doc_id").alias("src_doc")).distinct(),
+                "src_doc",
+                "left_semi",
+            )
+        )
+        g = assemble_graph(
+            scoped_mentions,
+            entities,
+            all_docs=spliced.select("doc_id").distinct(),
+            kept_edges_prov=kept,
+            scope_docs=affected,
+        )
+        stats["mode"] = "incremental_scoped"
+    else:
+        g = build_graph_from_mentions(spliced)
+
+    _write_graph_stages(store, g)
     changed.unpersist()
-    return g, {"mode": "incremental", "changed": n_changed, "deleted": n_deleted}
+    deleted.unpersist()
+    return g, stats

@@ -23,9 +23,6 @@ oracle can replay them in SQL (see ``__spark_entry__``).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,30 +94,50 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+    documents: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
     Band the k-row signature into ``bands`` bands of k/bands rows; docs
     agreeing on any full band collide. Returns (doc_a, doc_b, sig_agree =
     fraction of matching signature rows) with doc_a < doc_b.
+
+    ``max_bucket`` caps the per-(band, band_hash) bucket size: a boilerplate
+    band shared by B docs yields B²/2 pairs, so buckets larger than the cap
+    are dropped before the self-join (their members still pair through their
+    other, more selective bands). Off by default to keep the DuckDB oracle
+    exact; at 100 TB run with a cap (e.g. 10_000).
     """
     r = k // bands
     # persist: the signature pipeline feeds both sides of the band self-join
     # (unpersisted it is computed twice — measured 2x on the sf0.1 bench)
     sigs = minhash_signatures(documents, k, n).persist()
+    # band hash via hash60 (md5-derived) — portable to the DuckDB oracle,
+    # unlike Spark's engine-internal F.hash
     banded = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
+                    hash60(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
                     for b in range(bands)
                 ]
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, ["band", "band_hash"], "left_semi")
     left = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sig").alias("sig_a"),
@@ -152,17 +169,53 @@ def lsh_candidate_pairs(
     )
 
 
+def hub_shingles(
+    documents: DataFrame, n: int = 3, max_df_frac: float = 0.5
+) -> DataFrame:
+    """Observability for the DF cap: (shingle, df) rows the cap drops."""
+    sh = doc_shingles(documents, n)
+    totals = documents.agg(F.count("*").alias("n_docs"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(totals)
+        .filter(F.col("df") > F.ceil(F.lit(max_df_frac) * F.col("n_docs")))
+        .select("shingle", "df")
+    )
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.6
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Inverted-index self-join: |A∩B| from the join group counts, |A|,|B|
-    from per-doc shingle counts — pairs never materialize text. Hub shingles
-    (boilerplate) are the skew risk at scale; AQE skew-join plus an optional
-    document-frequency cap handle it.
+    from per-doc shingle counts — pairs never materialize text.
+
+    Hub shingles (boilerplate in >``max_df_frac`` of all docs) are the
+    quadratic blow-up at scale — a shingle shared by 1M docs alone yields
+    10¹² join rows. The document-frequency cap drops them from the shingle
+    universe entirely (both from the join AND from |A|,|B|, keeping the
+    Jaccard identity consistent over the capped universe); the dropped set
+    is enumerable via ``hub_shingles``. Everything is declarative — the cap
+    threshold is a crossJoin against a 1-row count, no driver action.
     """
     sh = doc_shingles(documents, n)
+    if max_df_frac is not None:
+        totals = documents.agg(F.count("*").alias("n_docs"))
+        kept = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .crossJoin(totals)
+            .filter(
+                F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("n_docs"))
+            )
+            .select("shingle")
+        )
+        sh = sh.join(kept, "shingle", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -190,50 +243,38 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
-def simhash(documents: DataFrame, bits: int = 64, n: int = 3) -> DataFrame:
-    """64-bit SimHash over word shingles, vectorized per Arrow batch.
+def simhash(documents: DataFrame, bits: int = 60, n: int = 3) -> DataFrame:
+    """SimHash over word shingles — ONE shuffle, whole-stage codegen.
 
     Bit b of the fingerprint is the sign of Σ_shingles (±1 by shingle-hash
-    bit b). Python stays out of the per-row path: one numpy popcount matrix
-    per batch.
+    bit b). Rather than exploding to (doc, bit) rows (bits× row blowup
+    through two shuffles — the round-1 plan), each bit is a conditional-sum
+    aggregate over the shingle frame: the single groupBy(doc_id) gets
+    map-side partial aggregation, so the shuffle carries ``bits`` longs per
+    doc. 60 bits because hash60 is a 60-bit value; every expression is
+    JVM-side and md5-portable, so the DuckDB oracle replays it exactly.
     """
-    import numpy as np
-
     exploded = doc_shingles(documents, n).withColumn(
         "h", hash60(F.col("shingle"))
     )
-
-    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                yield pd.DataFrame({"doc_id": [], "bit": [], "contrib": []})
-                continue
-            h = pdf["h"].to_numpy(dtype=np.int64)
-            bits_m = ((h[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1
-            rows = np.repeat(pdf["doc_id"].to_numpy(), bits)
-            yield pd.DataFrame(
-                {
-                    "doc_id": rows,
-                    "bit": np.tile(np.arange(bits), len(pdf)),
-                    "contrib": bits_m.reshape(-1),
-                }
-            )
-
-    contribs = exploded.mapInPandas(
-        _batch, schema="doc_id long, bit int, contrib long"
-    )
-    agg = (
-        contribs.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval", (F.col("s") > 0).cast("long"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
-            ).alias("simhash")
-        )
-    )
-    return agg
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
 
 
 def dedup_keep_first(documents: DataFrame) -> DataFrame:

@@ -1,66 +1,37 @@
 """Similarity search over embedding columns (array<float>).
 
-* ``brute_force_topk`` — the exactness baseline: query×corpus equi-free join
-  with the small query side **broadcast**, cosine in JVM expressions
-  (``zip_with`` + ``aggregate``), per-query top-k via window rank. At 100 TB
-  the corpus side streams through once; no shuffle of the corpus.
-* ``lsh_topk`` — the scale path: random-hyperplane (sign) LSH buckets;
-  queries probe only their bucket (+ optional multi-probe), turning the scan
-  into an equi-join on bucket id.
+* ``brute_force_topk`` — the exactness baseline: the small query side is
+  collected once and shipped to executors inside an Arrow-batched
+  ``mapInPandas`` closure; each corpus batch is scored with ONE numpy
+  matmul and reduced to a per-batch partial top-k, so the shuffle carries
+  at most ``n_queries × k`` rows per batch instead of the full cross
+  product. At 100 TB the corpus streams through exactly once.
+* ``lsh_topk`` — the scale path: random-hyperplane (sign) LSH buckets with
+  **multi-probe** (the query probes its own bucket plus every bucket at
+  Hamming distance 1), turning the scan into an equi-join on bucket id
+  while keeping recall high.
 * ``embedding_near_duplicates`` — near-dup detection by cosine ≥ τ within
   LSH buckets.
 
-Hyperplanes are deterministic (seeded hash-based), so results are stable
-across runs and parallelism levels.
+No interpreted array higher-order functions anywhere in the hot path (the
+round-1 plan evaluated ``F.aggregate``/``zip_with`` per element, ~100 µs/
+element — the dominant cost at dim 768 × 10⁹ rows); all vector math is
+numpy over Arrow batches.
+
+Hyperplanes are deterministic (seeded hash-free formula), so results are
+stable across runs and parallelism levels, and the DuckDB oracle embeds the
+same constants as literals.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
-
-
-def brute_force_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 5
-) -> DataFrame:
-    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
-
-    ``queries``: (query_id, q_embedding). The query side is broadcast; the
-    corpus is scanned once with the cosine evaluated in codegen'd JVM
-    expressions — no Python in the loop.
-    """
-    q = F.broadcast(queries.select("query_id", "q_embedding"))
-    scored = corpus.select("vec_id", "embedding").crossJoin(q).select(
-        "query_id",
-        "vec_id",
-        F.round(_cosine(F.col("q_embedding"), F.col("embedding")), 6).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+from pyspark.sql import types as T
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -74,46 +45,172 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / norm for v in vals]
 
 
-def sign_lsh_bucket(col, dim: int, n_planes: int = 8):
-    """Bucket id = sign bits against n deterministic hyperplanes."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array([F.lit(v) for v in _hyperplane(dim, p)])
-        dot = F.aggregate(
-            F.zip_with(col, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket * 2 + (dot > 0).cast("int")
-    return bucket
+def planes_matrix(dim: int, n_planes: int) -> np.ndarray:
+    return np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )
+
+
+def _embedding_dim(corpus: DataFrame) -> int:
+    """Probe the vector dimensionality with a single-int projection (no
+    full-row head() — the embedding itself never reaches the driver)."""
+    return corpus.selectExpr("size(embedding) AS d").limit(1).collect()[0]["d"]
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    return np.array(col.tolist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-300)
+
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    ``queries``: (query_id, q_embedding), small by contract — it is
+    collected once and closed over (the broadcast side). Ranking uses the
+    full-precision cosine; callers round for display only.
+    """
+    qrows = queries.select("query_id", "q_embedding").collect()
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qn = _normalize(_to_matrix(pd.Series([list(r["q_embedding"]) for r in qrows])))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"query_id": [], "vec_id": [], "cosine": []}
+                ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
+                continue
+            en = _normalize(_to_matrix(pdf["embedding"]))
+            s = en @ qn.T  # (batch, nq)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(s.shape[1]):
+                col = s[:, qi]
+                # partial top-k under the FINAL order (cos desc, vec_id asc):
+                # a row beaten by >= k batch-mates can never reach the top-k
+                order = np.lexsort((vec_ids, -col))[:k]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_v.append(vec_ids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = corpus.select("vec_id", "embedding").mapInPandas(
+        score, schema=_SCORE_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, emb_col: str, dim: int, n_planes: int = 6
+) -> DataFrame:
+    """Append an integer sign-LSH ``bucket`` column (numpy per Arrow batch).
+
+    bucket = Σ_p bit_p · 2^(n_planes−1−p), bit_p = (v · plane_p) > 0 — the
+    corpus can be written as a bucketed table for repeated querying.
+    """
+    planes = planes_matrix(dim, n_planes)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("bucket", T.LongType())])
+
+    def add_bucket(batches):
+        for pdf in batches:
+            if pdf.empty:
+                pdf["bucket"] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            e = _to_matrix(pdf[emb_col])
+            bits = (e @ planes.T) > 0
+            pdf = pdf.copy()
+            pdf["bucket"] = bits @ weights
+            yield pdf
+
+    return df.mapInPandas(add_bucket, schema=schema)
 
 
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     n_planes: int = 6,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket.
-
-    At scale the corpus is pre-bucketed (one pass, writable as a bucketed
-    table) and each query touches 1/2^planes of the data.
+    """Approximate top-k: probe the query's sign-LSH bucket plus (with
+    ``multiprobe``) every bucket at Hamming distance 1 — n_planes+1 probes,
+    each an equi-join key, so each query touches ~(n_planes+1)/2^n_planes
+    of the corpus. Recall@10 vs brute force is asserted ≥ 0.8 in tests.
     """
-    cb = corpus.withColumn(
-        "bucket", sign_lsh_bucket(F.col("embedding"), dim, n_planes)
-    )
+    if dim is None:
+        dim = _embedding_dim(corpus)
+    cb = with_lsh_bucket(corpus, "embedding", dim, n_planes)
+
+    planes = planes_matrix(dim, n_planes)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    qrows = queries.select("query_id", "q_embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(list(r["q_embedding"]), dtype=np.float64)
+        bucket = int((((planes @ v) > 0) @ weights))
+        probes = [bucket]
+        if multiprobe:
+            probes += [bucket ^ (1 << i) for i in range(n_planes)]
+        for p in probes:
+            probe_rows.append(
+                (int(r["query_id"]), p, [float(x) for x in r["q_embedding"]])
+            )
+    spark = corpus.sparkSession
     qb = F.broadcast(
-        queries.withColumn(
-            "bucket", sign_lsh_bucket(F.col("q_embedding"), dim, n_planes)
+        spark.createDataFrame(
+            probe_rows, schema="query_id long, bucket long, q_embedding array<double>"
         )
     )
-    scored = cb.join(qb, "bucket").select(
-        "query_id",
-        "vec_id",
-        F.round(_cosine(F.col("q_embedding"), F.col("embedding")), 6).alias(
-            "cosine"
-        ),
+
+    cand = cb.join(qb, "bucket").select("query_id", "vec_id", "embedding", "q_embedding")
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"query_id": [], "vec_id": [], "cosine": []}
+                ).astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"})
+                continue
+            a = _normalize(_to_matrix(pdf["embedding"]))
+            b = _normalize(_to_matrix(pdf["q_embedding"]))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cosine": np.einsum("ij,ij->i", a, b),
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema=_SCORE_SCHEMA).dropDuplicates(
+        ["query_id", "vec_id"]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -122,12 +219,15 @@ def lsh_topk(
 
 
 def embedding_near_duplicates(
-    corpus: DataFrame, dim: int, threshold: float = 0.95, n_planes: int = 6
+    corpus: DataFrame,
+    dim: int | None = None,
+    threshold: float = 0.95,
+    n_planes: int = 6,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets."""
-    cb = corpus.withColumn(
-        "bucket", sign_lsh_bucket(F.col("embedding"), dim, n_planes)
-    )
+    if dim is None:
+        dim = _embedding_dim(corpus)
+    cb = with_lsh_bucket(corpus, "embedding", dim, n_planes)
     a = cb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -138,13 +238,35 @@ def embedding_near_duplicates(
         F.col("embedding").alias("emb_b"),
         "bucket",
     )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+                continue
+            a_m = _normalize(_to_matrix(pdf["emb_a"]))
+            b_m = _normalize(_to_matrix(pdf["emb_b"]))
+            cos = np.einsum("ij,ij->i", a_m, b_m)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": np.round(cos[keep], 6),
+                }
+            )
+
+    return pairs.select("vec_a", "emb_a", "vec_b", "emb_b").mapInPandas(
+        score, schema=out_schema
     )

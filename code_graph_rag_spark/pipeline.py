@@ -11,8 +11,17 @@ same lifecycle is one declarative lineage:
       → structure pass (pure DataFrame)              [SURVEY §2.1]
       → alias frame + IMPORTS (verification joins)   [SURVEY §2.4]
       → call ladder joins → CALLS/INSTANTIATES/REFERENCES
-      → INHERITS (+base_index) → OVERRIDES BFS
+      → INHERITS (+base_index) → OVERRIDES (nearest + MRO shadow)
+      → media span attribution (tightest-containing-span range join)
       → union → capture-group filter → dedup → phantom-drop → tables
+
+Every edge row carries ``src_doc`` — the document whose mention produced it
+(for MRO shadow edges: the combining subclass's doc). The incremental path
+(``incremental.py``) uses this provenance to delete+insert edges per
+affected doc instead of recomputing the join phase over the full corpus
+(the Spark form of the reference's inbound-edge capture/restore,
+``graph_updater.py:1227-1284``): ``assemble_graph`` accepts a SCOPED
+mention frame plus the kept out-of-scope provenance rows.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from code_graph_rag_spark.extract.mentions import extract_mentions
 from code_graph_rag_spark.plans.inherits import (
     ancestor_closure,
     ext_nodes_from_edges,
+    mro_shadow_edges,
     override_edges,
     resolve_inherits,
 )
@@ -36,6 +46,7 @@ from code_graph_rag_spark.plans.resolution import (
     call_edges,
     resolve_calls,
 )
+from code_graph_rag_spark.plans.spans import tightest_containing_span
 from code_graph_rag_spark.plans.structure import module_containment, structure_pass
 from code_graph_rag_spark.plans.triples import (
     adjacency,
@@ -46,6 +57,8 @@ from code_graph_rag_spark.plans.triples import (
 from code_graph_rag_spark.plans.variants import mint_entities
 from code_graph_rag_spark.schema import DEFAULT_GROUPS, enabled_rels
 
+_TYPE_PREDS = ("INHERITS", "IMPLEMENTS")
+
 
 @dataclass
 class GraphResult:
@@ -53,6 +66,9 @@ class GraphResult:
     edges: DataFrame
     mentions: DataFrame
     entities: DataFrame
+    # per-provenance edge rows (edge × src_doc) BEFORE the final cross-doc
+    # dedup — the incremental delete+insert unit
+    edges_prov: DataFrame = None
     # every internally persisted frame — unpersisting ALL of them matters
     # for long sessions (leaked caches measured a 1.75x slowdown on the
     # second build in one session)
@@ -109,7 +125,7 @@ def disambiguate_modules(mentions: DataFrame) -> DataFrame:
             F.col("new_mqn").isNotNull() & prefix_hit, rewritten
         ).otherwise(col)
 
-    for c in ("qn", "parent_qn", "enclosing_hint", "class_ctx_hint"):
+    for c in ("qn", "parent_qn", "enclosing_hint", "class_ctx_hint", "super_hint"):
         m = m.withColumn(c, rewrite(c))
     m = m.withColumn(
         "module_qn", F.coalesce(F.col("new_mqn"), F.col("module_qn"))
@@ -167,22 +183,51 @@ def build_graph_from_mentions(
     pre-disambiguation) mentions frame.
 
     Split out so the incremental path (``incremental.py``) can splice
-    re-extracted mentions for changed docs into the persisted mention table
-    and rerun only the join phase — extraction (the dominant cost at scale)
-    is never repeated for unchanged documents, and incremental ≡ full
-    rebuild holds by construction (same mentions → same graph).
-    Disambiguation runs here because it is cross-document (collision window
-    over all module QNs).
+    re-extracted mentions for changed docs into the persisted mention table —
+    extraction (the dominant cost at scale) is never repeated for unchanged
+    documents. Disambiguation runs here because it is cross-document
+    (collision window over all module QNs).
     """
     mentions = _materialize(disambiguate_modules(raw_mentions), "mentions")
-    documents = mentions.select("doc_id").distinct()
     entities = _materialize(mint_entities(mentions), "entities")
+    return assemble_graph(mentions, entities, groups=groups)
+
+
+def assemble_graph(
+    mentions: DataFrame,
+    entities: DataFrame,
+    groups: tuple[str, ...] = DEFAULT_GROUPS,
+    all_docs: DataFrame | None = None,
+    kept_edges_prov: DataFrame | None = None,
+    scope_docs: DataFrame | None = None,
+) -> GraphResult:
+    """The join phase. Full mode: ``mentions`` covers every doc and the kept
+    frames are None. Scoped (incremental) mode: ``mentions`` holds only the
+    affected docs' rows, ``entities`` is the GLOBAL (incrementally updated)
+    entity table, ``all_docs`` the full doc universe for the structure pass,
+    ``kept_edges_prov`` the unaffected docs' provenance rows to carry over,
+    and ``scope_docs`` the affected doc ids (filters entity-driven frames).
+    """
+    registry: list = []
+    documents = (
+        all_docs
+        if all_docs is not None
+        else mentions.select("doc_id").distinct()
+    )
     modules = entities.filter(F.col("label") == "Module").select(
         "qualified_name", "doc_id", "qn"
     )
+    ent_scope = (
+        entities
+        if scope_docs is None
+        else entities.join(
+            scope_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    )
 
-    # ---- structure layer (pure DataFrame, no UDF) ----
+    # ---- structure layer (pure DataFrame, no UDF; global, cheap) ----
     struct_nodes, struct_edges = structure_pass(documents)
+    # CONTAINS_MODULE provenance: the module's own doc
     mod_edges = module_containment(
         mentions.filter(F.col("kind") == "module").select("qn", "doc_id"),
         struct_nodes,
@@ -198,7 +243,7 @@ def build_graph_from_mentions(
         "end_line",
         "props",
     )
-    defines = entities.filter(F.col("parent_qn").isNotNull()).select(
+    defines = ent_scope.filter(F.col("parent_qn").isNotNull()).select(
         F.col("parent_qn").alias("subj"),
         F.when(
             (F.col("parent_kind") == "Class") & (F.col("label") == "Method"),
@@ -209,23 +254,37 @@ def build_graph_from_mentions(
         F.col("qualified_name").alias("obj"),
         F.col("parent_kind").alias("subj_label"),
         F.col("label").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
     )
 
-    # ---- imports / alias dictionary ----
-    registry: list = []
-    alias, import_edges, ext_imp_nodes = build_alias_frame(
+    # ---- imports / alias dictionary (from the scoped mentions) ----
+    alias, import_edges, _ = build_alias_frame(
         mentions, modules, persist_registry=registry
     )
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
     # ---- type edges first: the ancestor closure feeds the super()/
-    # inherited-self rungs of call resolution ----
+    # inherited-self/typed-receiver rungs of call resolution. The closure
+    # must see the GLOBAL hierarchy: scoped INHERITS ∪ kept type edges. ----
     inh_e = _materialize(
         resolve_inherits(mentions, entities, alias, persist_registry=registry),
         "inherits",
     )
-    closure = ancestor_closure(inh_e)
-    ovr_e = override_edges(entities, inh_e, closure)
+    if kept_edges_prov is not None:
+        closure_src = inh_e.select(
+            "subj", "pred", "obj", "subj_label", "obj_label", "props", "src_doc"
+        ).unionByName(
+            kept_edges_prov.filter(F.col("pred").isin(*_TYPE_PREDS))
+        )
+    else:
+        closure_src = inh_e
+    closure = ancestor_closure(closure_src)
+    ovr_e = override_edges(
+        entities, closure_src, closure, scope_docs=scope_docs
+    ).unionByName(
+        # cross-branch MRO sibling shadows (method_override.py:70-153)
+        mro_shadow_edges(entities, closure_src, closure, scope_docs=scope_docs)
+    )
 
     # ---- calls / refs ----
     resolved = resolve_calls(
@@ -239,6 +298,7 @@ def build_graph_from_mentions(
         .select(
             F.col("module_qn").alias("subj"),
             F.concat_ws(".", "module_qn", "name").alias("target"),
+            F.col("doc_id").alias("src_doc"),
         )
         .join(
             entities.filter(F.col("label").isin("Class", "Function")).select(
@@ -254,7 +314,45 @@ def build_graph_from_mentions(
             "obj",
             F.lit("Module").alias("subj_label"),
             "obj_label",
+            "src_doc",
         )
+    )
+
+    # ---- media spans → HAS_MEDIA via the tightest-containing-span range
+    # join (plans/spans.py — the macro/location attribution analogue of
+    # graph_updater.py:499-549, fed by the interleaved input contract) ----
+    media = mentions.filter(F.col("kind") == "media").select(
+        "doc_id",
+        F.concat_ws("#", "doc_id", "name", "start_line").alias("use_id"),
+        F.col("start_line").alias("line"),
+        F.col("end_line").alias("line_hi"),
+        F.col("name").alias("media_ref"),
+        F.col("module_qn"),
+    )
+    span_defs = entities.filter(
+        F.col("label").isin("Function", "Method", "Class")
+    ).select(
+        "doc_id",
+        F.col("qualified_name").alias("def_qn"),
+        "start_line",
+        "end_line",
+        F.col("label").alias("def_label"),
+    )
+    contained = tightest_containing_span(
+        media.select("doc_id", "use_id", "line", "line_hi"), span_defs
+    ).join(
+        span_defs.select("def_qn", "def_label").dropDuplicates(["def_qn"]),
+        "def_qn",
+    )
+    media_edges = media.join(contained, "use_id", "left").select(
+        # fallback: a media span between top-level definitions attaches
+        # to the module itself
+        F.coalesce("def_qn", "module_qn").alias("subj"),
+        F.lit("HAS_MEDIA").alias("pred"),
+        F.col("media_ref").alias("obj"),
+        F.coalesce("def_label", F.lit("Module")).alias("subj_label"),
+        F.lit("MediaAsset").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
     )
 
     # ---- dependency manifests → Project DEPENDS_ON_EXTERNAL ----
@@ -264,29 +362,13 @@ def build_graph_from_mentions(
         F.col("name").alias("obj"),
         F.lit("Project").alias("subj_label"),
         F.lit("ExternalPackage").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
     )
-    ext_pkg_nodes = deps.select(
-        F.lit("ExternalPackage").alias("label"),
-        F.col("obj").alias("id"),
-        F.col("obj").alias("name"),
-        F.lit(None).cast("string").alias("path"),
-    ).distinct()
 
-    # ---- assembly ----
-    ext_nodes = ext_imp_nodes.unionByName(ext_nodes_from_edges(inh_e)).distinct()
-    nodes = (
-        _pad_nodes(struct_nodes)
-        .unionByName(_pad_nodes(entity_nodes))
-        .unionByName(_pad_nodes(ext_nodes))
-        .unionByName(_pad_nodes(ext_pkg_nodes))
-        .dropDuplicates(["label", "id"])
-    )
-    # nodes/edges trees are shallow once the fan-out frames above are
-    # checkpointed → plain lazy persist (no extra materialization pass);
-    # Catalyst cost stays bounded and the first caller action computes once.
-    nodes = nodes.persist()
-    edges = union_edges(
-        struct_edges,
+    # ---- assembly: provenance rows first, derived nodes FROM them (so a
+    # kept IMPORTS→ExternalModule row keeps its node alive) ----
+    new_prov = union_edges(
+        struct_edges,  # src_doc null: the structure layer is always global
         mod_edges,
         defines,
         import_edges,
@@ -295,13 +377,59 @@ def build_graph_from_mentions(
         ovr_e,
         exports,
         deps,
+        media_edges,
     )
-    edges = edges.filter(F.col("pred").isin(*sorted(enabled_rels(groups))))
-    edges = drop_phantoms(dedup_edges(edges), nodes).persist()
+    edges_prov = new_prov
+    if kept_edges_prov is not None:
+        edges_prov = new_prov.unionByName(kept_edges_prov)
+    edges_prov = edges_prov.filter(
+        F.col("pred").isin(*sorted(enabled_rels(groups)))
+    )
+    # fan-out boundary: nodes AND edges AND the incremental store all read
+    # this frame — checkpoint cuts the (very deep) union-of-joins lineage,
+    # keeping Catalyst time bounded (the round-1 hard-won rule)
+    edges_prov = _materialize(dedup_edges(edges_prov, by_src=True), "edges_prov")
+
+    ext_nodes = ext_nodes_from_edges(edges_prov)
+    ext_pkg_nodes = (
+        edges_prov.filter(F.col("obj_label") == "ExternalPackage")
+        .select(
+            F.lit("ExternalPackage").alias("label"),
+            F.col("obj").alias("id"),
+            F.col("obj").alias("name"),
+            F.lit(None).cast("string").alias("path"),
+        )
+        .distinct()
+    )
+    media_nodes = (
+        edges_prov.filter(F.col("pred") == "HAS_MEDIA")
+        .select(
+            F.lit("MediaAsset").alias("label"),
+            F.col("obj").alias("id"),
+            F.element_at(F.split("obj", "/"), -1).alias("name"),
+            F.col("src_doc").alias("path"),
+        )
+        .dropDuplicates(["id"])
+    )
+    nodes = (
+        _pad_nodes(struct_nodes)
+        .unionByName(_pad_nodes(entity_nodes))
+        .unionByName(_pad_nodes(ext_nodes))
+        .unionByName(_pad_nodes(ext_pkg_nodes))
+        .unionByName(_pad_nodes(media_nodes))
+        .dropDuplicates(["label", "id"])
+    )
+    # nodes/edges trees are shallow once the fan-out frames above are
+    # checkpointed → plain lazy persist (no extra materialization pass);
+    # Catalyst cost stays bounded and the first caller action computes once.
+    nodes = nodes.persist()
+    edges = dedup_edges(edges_prov.drop("src_doc")).drop("src_doc")
+    edges = drop_phantoms(edges, nodes).persist()
     return GraphResult(
         nodes=nodes,
         edges=edges,
         mentions=mentions,
         entities=entities,
+        edges_prov=edges_prov,
         persisted=registry,
     )

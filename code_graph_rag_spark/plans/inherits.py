@@ -42,6 +42,7 @@ def resolve_inherits(
     inh = mentions.filter(F.col("kind") == "inherit").select(
         F.concat_ws("#", "doc_id", "qn", "base_index").alias("mention_id"),
         F.col("qn").alias("subj"),
+        "doc_id",
         "module_qn",
         F.col("callee").alias("base"),
         "base_index",
@@ -59,7 +60,7 @@ def resolve_inherits(
             "is_external",
         )
     )
-    key = ["mention_id", "subj", "base", "base_index"]
+    key = ["mention_id", "subj", "doc_id", "base", "base_index"]
 
     alias_hits = inh.join(
         balias,
@@ -83,6 +84,7 @@ def resolve_inherits(
         F.lit("Class").alias("subj_label"),
         F.lit("ExternalModule").alias("obj_label"),
         F.col("base_index"),
+        F.col("doc_id").alias("src_doc"),
     )
     c_same = inh.select(
         *key,
@@ -143,6 +145,7 @@ def resolve_inherits(
             F.coalesce(F.col("s_label"), F.lit("Class")).alias("subj_label"),
             F.col("target_label").alias("obj_label"),
             "base_index",
+            F.col("doc_id").alias("src_doc"),
         )
     )
     out = internal.unionByName(
@@ -154,6 +157,7 @@ def resolve_inherits(
             F.coalesce(F.col("s_label"), F.lit("Class")).alias("subj_label"),
             "obj_label",
             "base_index",
+            "src_doc",
         )
     )
     return out.withColumn(
@@ -218,13 +222,172 @@ def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
     return clo
 
 
+def mro_shadow_edges(
+    entities: DataFrame,
+    inherits: DataFrame,
+    closure: DataFrame | None = None,
+    scope_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-branch MRO shadow OVERRIDES (method_override.py:70-153).
+
+    A mixin's method can shadow a same-name method from a SIBLING base
+    branch only in a combining subclass's MRO (django's
+    ``SearchVector(SearchVectorCombinable, Func)`` case): the nearest-
+    ancestor walk cannot see it because the mixin never inherits the
+    shadowed class. Per class, linearize the ancestry in reverse post-order
+    (a C3-compatible stand-in, ``method_override.py:135-153``) and link each
+    method name's FIRST provider to every LATER provider, skipping pairs the
+    per-method ancestor walk already owns (shadowed ∈ ancestors(first)).
+
+    Spark shape: each class ships its own (tiny) ancestor subgraph + the
+    method names defined on those ancestors into one cogrouped-pandas task —
+    classes parallelize, hierarchies are bounded, and the duplicated pairs
+    from sibling descendants collapse in the final dedup.
+    """
+    import pandas as pd
+
+    edges = inherits.filter(F.col("obj_label").isin(*_CLASSY)).select(
+        F.col("subj"),
+        F.col("obj"),
+        F.coalesce(
+            F.col("props").getItem("base_index").cast("int"), F.lit(0)
+        ).alias("ord"),
+    )
+    if closure is None:
+        closure = ancestor_closure(inherits)
+    # nodes of each class's ancestor subgraph: the class itself + ancestors.
+    # src_doc provenance = the ROOT class's doc (the combining subclass is
+    # what makes the shadow exist), so the incremental path recomputes
+    # exactly the roots whose docs are in scope.
+    cls_docs = entities.filter(F.col("label").isin(*_CLASSY)).select(
+        F.col("qn").alias("root"), F.col("doc_id").alias("root_doc")
+    ).dropDuplicates(["root"])
+    roots = closure.select(F.col("cls").alias("root")).distinct()
+    if scope_docs is not None:
+        roots = roots.join(
+            cls_docs.join(
+                scope_docs.select(F.col("doc_id").alias("root_doc")),
+                "root_doc",
+                "left_semi",
+            ),
+            "root",
+            "left_semi",
+        )
+    nodes = (
+        closure.join(roots, closure["cls"] == roots["root"], "left_semi")
+        .select(F.col("cls").alias("root"), F.col("anc").alias("node"))
+        .unionByName(roots.select("root", F.col("root").alias("node")))
+        # both cogroup sides join against this frame — cut the shared
+        # lineage so Spark doesn't see an ambiguous self-join (tiny frame:
+        # one row per (class, ancestor))
+        .localCheckpoint(eager=True)
+    )
+
+    sub_edges = nodes.join(edges, nodes["node"] == edges["subj"]).select(
+        "root", "subj", "obj", "ord"
+    )
+    methods = entities.filter(F.col("label") == "Method").select(
+        F.col("parent_qn").alias("mcls"),
+        F.col("name").alias("mname"),
+        F.col("qualified_name").alias("mqn"),
+    )
+    # distinct column names on the second cogroup side: both sides descend
+    # from the same `nodes` frame, and same-name attributes across the
+    # cogroup children trip Spark's ambiguous-self-join check
+    nodes_m = nodes.selectExpr("root AS mroot", "node AS mnode")
+    sub_methods = nodes_m.join(
+        methods, nodes_m["mnode"] == methods["mcls"]
+    ).select("mroot", "mcls", "mname", "mqn")
+
+    def shadow(key, epdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        root = key[0]
+        bases: dict[str, list[str]] = {}
+        for r in epdf.itertuples():
+            bases.setdefault(r.subj, []).append((r.ord, r.obj))
+        bases = {k: [o for _, o in sorted(v)] for k, v in bases.items()}
+        # reverse post-order: subclass precedes bases, diamonds sink
+        order: list[str] = []
+        expanded: set[str] = set()
+        stack: list[tuple[str, bool]] = [(root, False)]
+        while stack:
+            cur, done = stack.pop()
+            if done:
+                order.append(cur)
+                continue
+            if cur in expanded:
+                continue
+            expanded.add(cur)
+            stack.append((cur, True))
+            stack.extend((b, False) for b in bases.get(cur, []))
+        lin = list(reversed(order))
+
+        meth: dict[tuple[str, str], list[str]] = {}
+        names_by_cls: dict[str, set[str]] = {}
+        for r in mpdf.itertuples():
+            meth.setdefault((r.mcls, r.mname), []).append(r.mqn)
+            names_by_cls.setdefault(r.mcls, set()).add(r.mname)
+
+        providers: dict[str, list[str]] = {}
+        for cls in lin:
+            for nm in sorted(names_by_cls.get(cls, ())):
+                providers.setdefault(nm, []).append(cls)
+
+        def reachable(start: str) -> set[str]:
+            seen: set[str] = set()
+            todo = list(bases.get(start, ()))
+            while todo:
+                c = todo.pop()
+                if c in seen:
+                    continue
+                seen.add(c)
+                todo.extend(bases.get(c, ()))
+            return seen
+
+        rows: list[tuple[str, str, str]] = []
+        for nm, classes in providers.items():
+            if len(classes) < 2:
+                continue
+            first = classes[0]
+            first_anc = reachable(first)
+            for shadowed in classes[1:]:
+                if shadowed in first_anc:
+                    continue  # same-branch: the nearest-ancestor pass owns it
+                for sq in sorted(meth[(first, nm)]):
+                    for oq in sorted(meth[(shadowed, nm)]):
+                        rows.append((root, sq, oq))
+        return pd.DataFrame(rows, columns=["root", "subj", "obj"])
+
+    pairs = (
+        sub_edges.groupBy("root")
+        .cogroup(sub_methods.groupBy("mroot"))
+        .applyInPandas(shadow, schema="root string, subj string, obj string")
+    )
+    return (
+        pairs.join(cls_docs, "root", "left")
+        .select(
+            "subj",
+            F.lit("OVERRIDES").alias("pred"),
+            "obj",
+            F.lit("Method").alias("subj_label"),
+            F.lit("Method").alias("obj_label"),
+            F.col("root_doc").alias("src_doc"),
+        )
+        .dropDuplicates(["subj", "pred", "obj", "src_doc"])
+    )
+
+
 def override_edges(
-    entities: DataFrame, inherits: DataFrame, closure: DataFrame | None = None
+    entities: DataFrame,
+    inherits: DataFrame,
+    closure: DataFrame | None = None,
+    scope_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Method OVERRIDES nearest ancestor method of the same name.
 
     One join pass over the precomputed ancestor closure instead of an
     adaptive BFS loop (nearest = min (depth, base order) per method).
+    ``scope_docs`` (incremental) restricts the SUBJECT side to in-scope
+    docs; the ancestor side stays global.
     """
     if closure is None:
         closure = ancestor_closure(inherits)
@@ -232,9 +395,17 @@ def override_edges(
         F.col("parent_qn").alias("cls"),
         F.col("name").alias("mname"),
         F.col("qualified_name").alias("mqn"),
+        F.col("doc_id").alias("mdoc"),
     )
+    subj_methods = methods
+    if scope_docs is not None:
+        subj_methods = methods.join(
+            scope_docs.select(F.col("doc_id").alias("mdoc")),
+            "mdoc",
+            "left_semi",
+        )
     hits = (
-        methods.alias("m")
+        subj_methods.alias("m")
         .join(closure.alias("c"), F.col("m.cls") == F.col("c.cls"))
         .join(
             methods.alias("a"),
@@ -244,6 +415,7 @@ def override_edges(
         .select(
             F.col("m.mqn").alias("subj"),
             F.col("a.mqn").alias("obj"),
+            F.col("m.mdoc").alias("src_doc"),
             F.col("c.depth").alias("depth"),
             F.col("c.ord").alias("ord"),
         )
@@ -258,6 +430,7 @@ def override_edges(
             "obj",
             F.lit("Method").alias("subj_label"),
             F.lit("Method").alias("obj_label"),
+            "src_doc",
         )
-        .dropDuplicates(["subj", "pred", "obj"])
+        .dropDuplicates(["subj", "pred", "obj", "src_doc"])
     )

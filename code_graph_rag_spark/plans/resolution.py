@@ -27,6 +27,8 @@ P_IMPORT = 3  # import-alias map (rung 8)
 P_SAME_MODULE = 4  # same-module exact (rung 8 tail)
 P_CLASS_CTX = 5  # self-sibling method (rung 10)
 P_INHERITED_SELF = 6  # self.m() provided by an ancestor class
+P_TYPE_LOCAL = 7  # typed receiver: v = Circle(); v.m() → Circle.m
+P_TYPE_ANCESTOR = 8  # typed receiver: method provided by an ancestor class
 P_SIMPLE_NAME = 9  # simple-name fallback (rung 13, trie find_ending_with)
 
 
@@ -154,6 +156,7 @@ def build_alias_frame(
             F.col("edge_mqn").alias("obj"),
             F.lit("Module").alias("subj_label"),
             F.lit("Module").alias("obj_label"),
+            F.col("doc_id").alias("src_doc"),
         )
         .filter(F.col("subj") != F.col("obj"))
     )
@@ -163,9 +166,10 @@ def build_alias_frame(
         F.col("target").alias("obj"),
         F.lit("Module").alias("subj_label"),
         F.lit("ExternalModule").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
     )
     imports_edges = internal.unionByName(external).dropDuplicates(
-        ["subj", "pred", "obj"]
+        ["subj", "pred", "obj", "src_doc"]
     )
     ext_nodes = external.select(
         F.lit("ExternalModule").alias("label"),
@@ -174,6 +178,133 @@ def build_alias_frame(
         F.lit(None).cast("string").alias("path"),
     ).distinct()
     return alias, imports_edges, ext_nodes
+
+
+def _expr_candidates(exprs: DataFrame, alias: DataFrame) -> DataFrame:
+    """(module_qn, expr) → candidate QNs via the import-alias and same-module
+    rungs (the two rungs a bare type expression can resolve through).
+
+    Returns (module_qn, expr, cand_qn, rung) with rung 1=alias, 2=same-module.
+    """
+    e = exprs.select(
+        "module_qn",
+        "expr",
+        F.split(F.col("expr"), "\\.").getItem(0).alias("first_seg"),
+        F.when(
+            F.instr(F.col("expr"), ".") > 0,
+            F.expr("substring(expr, instr(expr, '.') + 1)"),
+        ).alias("rest"),
+    )
+    balias = F.broadcast(
+        alias.select(
+            F.col("module_qn").alias("a_mqn"),
+            F.col("local_name").alias("a_local"),
+            "full_qn",
+            "is_external",
+        )
+    )
+    via_alias = (
+        e.join(
+            balias,
+            (e["module_qn"] == F.col("a_mqn"))
+            & (e["first_seg"] == F.col("a_local")),
+        )
+        .filter(~F.col("is_external"))
+        .select(
+            "module_qn",
+            "expr",
+            F.when(
+                F.col("rest").isNotNull(), F.concat_ws(".", "full_qn", "rest")
+            )
+            .otherwise(F.col("full_qn"))
+            .alias("cand_qn"),
+            F.lit(1).alias("rung"),
+        )
+    )
+    same_mod = e.select(
+        "module_qn",
+        "expr",
+        F.concat_ws(".", "module_qn", "expr").alias("cand_qn"),
+        F.lit(2).alias("rung"),
+    )
+    return via_alias.unionByName(same_mod)
+
+
+def resolve_receiver_classes(
+    mentions: DataFrame, entities: DataFrame, alias: DataFrame
+) -> DataFrame:
+    """Receiver-type expressions → the class they denote.
+
+    The Spark form of the reference's type-inference maps
+    (``parsers/type_inference.py`` local_var_types +
+    ``call_resolver.py:833-850`` return-type chaining): an as-written
+    expression (``Circle``, ``mod.Circle``, ``make_circle``) resolves to a
+    class either directly (it names a Class/Interface/Enum) or through one
+    function hop (it names a Function whose ``returns`` facts name a class).
+
+    Returns (module_qn, expr, recv_cls) — rank-1 deterministic per expr.
+    """
+    classes = entities.filter(
+        F.col("label").isin("Class", "Interface", "Enum")
+    ).select(F.col("qn").alias("cls_qn")).distinct()
+    funcs = entities.filter(
+        F.col("label").isin("Function", "Method")
+    ).select(F.col("qn").alias("f_qn")).distinct()
+
+    # function → returned-class facts (from `return Ctor()` and `-> Ann`)
+    rets = mentions.filter(F.col("kind") == "returns").select(
+        "module_qn",
+        F.col("parent_qn").alias("f_qn"),
+        F.col("callee").alias("expr"),
+    )
+    ret_res = (
+        _expr_candidates(rets.select("module_qn", "expr").distinct(), alias)
+        .join(classes, F.col("cand_qn") == classes["cls_qn"])
+        .select("module_qn", "expr", "cls_qn", "rung")
+    )
+    fn_returns = (
+        rets.join(ret_res, ["module_qn", "expr"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("f_qn").orderBy("rung", "cls_qn")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("f_qn", F.col("cls_qn").alias("ret_cls"))
+    )
+
+    recv = (
+        mentions.filter(
+            (F.col("kind") == "call") & F.col("recv_expr").isNotNull()
+        )
+        .select("module_qn", F.col("recv_expr").alias("expr"))
+        .distinct()
+    )
+    rc = _expr_candidates(recv, alias)
+    direct = rc.join(classes, F.col("cand_qn") == classes["cls_qn"]).select(
+        "module_qn", "expr", "cls_qn", "rung", F.lit(1).alias("path")
+    )
+    via_fn = (
+        rc.join(funcs, F.col("cand_qn") == funcs["f_qn"])
+        .join(fn_returns, "f_qn")
+        .select(
+            "module_qn",
+            "expr",
+            F.col("ret_cls").alias("cls_qn"),
+            "rung",
+            F.lit(2).alias("path"),
+        )
+    )
+    w = Window.partitionBy("module_qn", "expr").orderBy(
+        "path", "rung", "cls_qn"
+    )
+    return (
+        direct.unionByName(via_fn)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("module_qn", "expr", F.col("cls_qn").alias("recv_cls"))
+    )
 
 
 def resolve_calls(
@@ -203,6 +334,7 @@ def resolve_calls(
         "enclosing_hint",
         "class_ctx_hint",
         "super_hint",
+        "recv_expr",
         F.split(F.col("callee"), "\\.").getItem(0).alias("first_seg"),
         F.when(
             F.instr(F.col("callee"), ".") > 0,
@@ -259,6 +391,28 @@ def resolve_calls(
         F.lit(P_CLASS_CTX).alias("priority"),
     )
 
+    # typed-receiver rungs (reference type_inference.py via
+    # call_processor.py:2815-2822): v = Circle(); v.m() → Circle.m.
+    # The receiver-class map is small (distinct (module, expr) pairs);
+    # AQE broadcasts the join at runtime.
+    recv_cls = resolve_receiver_classes(mentions, entities, alias).persist()
+    if persist_registry is not None:
+        persist_registry.append(recv_cls)
+    typed = calls.filter(F.col("recv_expr").isNotNull()).withColumn(
+        "method", F.element_at(F.split("callee", "\\."), -1)
+    )
+    typed_hits = typed.join(
+        recv_cls.select(
+            "module_qn", F.col("expr").alias("recv_expr"), "recv_cls"
+        ),
+        ["module_qn", "recv_expr"],
+    )
+    c5 = typed_hits.select(
+        *key_cols,
+        F.concat_ws(".", "recv_cls", "method").alias("cand_qn"),
+        F.lit(P_TYPE_LOCAL).alias("priority"),
+    )
+
     # closure rungs: super() dispatch + self.m() provided by an ancestor.
     # depth orders nearest-ancestor-first within the rung.
     closure_cands = []
@@ -293,7 +447,18 @@ def resolve_calls(
             "depth",
             "ord",
         )
-        closure_cands = [c_super, c_inh_self]
+        # typed receiver method provided by an ancestor class:
+        # c = Circle(); c.ident() where ident lives on Shape
+        c_type_anc = typed_hits.join(
+            clo, typed_hits["recv_cls"] == clo["cls"]
+        ).select(
+            *key_cols,
+            F.concat_ws(".", "anc", "method").alias("cand_qn"),
+            F.lit(P_TYPE_ANCESTOR).alias("priority"),
+            "depth",
+            "ord",
+        )
+        closure_cands = [c_super, c_inh_self, c_type_anc]
 
     ent = entities.select(
         F.col("qn").alias("e_qn"),
@@ -306,6 +471,7 @@ def resolve_calls(
         c1.unionByName(c2)
         .unionByName(c3)
         .unionByName(c4)
+        .unionByName(c5)
         .withColumn("depth", F.lit(0))
         .withColumn("ord", F.lit(0))
     )
@@ -362,8 +528,13 @@ def resolve_calls(
     )
 
     hits = exact_hits.unionByName(fallback_hits).filter(
-        # never self-edges from a mention resolving to its own caller scope
-        F.col("target_qn") != F.col("caller_qn")
+        # self-loop suppression is scoped to the closure rungs only: super()
+        # must skip the own class and inherited-self must land on an ancestor
+        # (POLYGLOT_FORBIDDEN), but direct recursion IS a real edge — the
+        # reference asserts self-recursive CALLS exist
+        # (tests/test_nested_local_function_calls.py:50-60)
+        (F.col("target_qn") != F.col("caller_qn"))
+        | ~F.col("priority").isin(P_SUPER, P_INHERITED_SELF)
     )
 
     # arbitration: lowest rung wins; within closure rungs the nearest
@@ -396,6 +567,7 @@ def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
         F.col("target_variant").alias("obj"),
         F.col("caller_label").alias("subj_label"),
         F.col("target_label").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
     ]
     calls = resolved.filter(F.col("kind") == "call")
     refs = resolved.filter(F.col("kind") == "ref")
@@ -427,6 +599,7 @@ def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
             F.col("ctor_qn").alias("obj"),
             F.col("caller_label").alias("subj_label"),
             F.lit("Method").alias("obj_label"),
+            F.col("doc_id").alias("src_doc"),
         )
     )
     ref_edges = refs.filter(
@@ -434,6 +607,9 @@ def call_edges(resolved: DataFrame, entities: DataFrame) -> DataFrame:
     ).select(F.lit("REFERENCES").alias("pred"), *base_cols)
 
     out = plain.unionByName(inst).unionByName(ctor_calls).unionByName(ref_edges)
+    # src_doc provenance: the doc whose mention produced the edge — the
+    # incremental path keeps/replaces edges per source doc (delete+insert by
+    # doc partition, graph_updater.py:1227-1284 analogue)
     return out.select(
-        "subj", "pred", "obj", "subj_label", "obj_label"
-    ).dropDuplicates(["subj", "pred", "obj"])
+        "subj", "pred", "obj", "subj_label", "obj_label", "src_doc"
+    ).dropDuplicates(["subj", "pred", "obj", "src_doc"])

@@ -25,14 +25,16 @@ def tightest_containing_span(
 ) -> DataFrame:
     """Attribute each use row to the smallest enclosing definition.
 
-    ``uses``: (doc_id, use_id, line); ``defs``: (doc_id, def_qn,
+    ``uses``: (doc_id, use_id, line[, line_hi]); ``defs``: (doc_id, def_qn,
     start_line, end_line). Returns (use_id, def_qn) — one row per use that
     lands inside at least one definition; ties (same length) break by
-    start_line desc (innermost), then def_qn.
+    start_line desc (innermost), then def_qn. When ``line_hi`` is present
+    the use is an INTERVAL (e.g. a media span straddling two lines) and the
+    definition must contain all of it.
     """
+    hi = F.col("line_hi") if "line_hi" in uses.columns else F.col("line")
     joined = uses.join(defs, "doc_id").filter(
-        (F.col("line") >= F.col("start_line"))
-        & (F.col("line") <= F.col("end_line"))
+        (F.col("line") >= F.col("start_line")) & (hi <= F.col("end_line"))
     )
     w = Window.partitionBy("use_id").orderBy(
         (F.col("end_line") - F.col("start_line")).asc(),

@@ -137,6 +137,7 @@ def module_containment(modules: DataFrame, dir_nodes: DataFrame) -> DataFrame:
     parts = F.split(F.col("doc_id"), "/")
     mods = modules.select(
         F.col("qn").alias("obj"),
+        F.col("doc_id").alias("src_doc"),
         F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/").alias("dir"),
     )
     owners = dir_nodes.filter(
@@ -152,4 +153,5 @@ def module_containment(modules: DataFrame, dir_nodes: DataFrame) -> DataFrame:
         "obj",
         "subj_label",
         F.lit("Module").alias("obj_label"),
+        "src_doc",
     )

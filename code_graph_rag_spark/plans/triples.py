@@ -20,6 +20,8 @@ def _ensure_props(edges: DataFrame) -> DataFrame:
         edges = edges.withColumn(
             "props", F.lit(None).cast("map<string,string>")
         )
+    if "src_doc" not in edges.columns:
+        edges = edges.withColumn("src_doc", F.lit(None).cast("string"))
     return edges
 
 
@@ -27,21 +29,25 @@ def union_edges(*frames: DataFrame) -> DataFrame:
     out = None
     for f in frames:
         f = _ensure_props(f).select(
-            "subj", "pred", "obj", "subj_label", "obj_label", "props"
+            "subj", "pred", "obj", "subj_label", "obj_label", "props", "src_doc"
         )
         out = f if out is None else out.unionByName(f)
     return out
 
 
-def dedup_edges(edges: DataFrame) -> DataFrame:
+def dedup_edges(edges: DataFrame, by_src: bool = False) -> DataFrame:
     """(subj,pred,obj) dedup, except rel types whose identity includes
-    provenance props (MERGE_KEY_PROPS_BY_REL, constants/graph.py:470-472)."""
+    provenance props (MERGE_KEY_PROPS_BY_REL, constants/graph.py:470-472).
+
+    ``by_src=True`` keeps one row per (edge, src_doc) — the provenance table
+    the incremental path deletes/inserts by doc."""
     edges = _ensure_props(edges)
     extra = sorted({p for ps in MERGE_KEY_PROPS_BY_REL.values() for p in ps})
     key = [
         F.col("subj"),
         F.col("pred"),
         F.col("obj"),
+        *([F.col("src_doc")] if by_src and "src_doc" in edges.columns else []),
         *[
             F.when(
                 F.col("pred").isin(*MERGE_KEY_PROPS_BY_REL.keys()),

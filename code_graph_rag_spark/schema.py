@@ -26,6 +26,7 @@ NODE_KEYS: dict[str, str] = {
     "Enum": "qualified_name",
     "ExternalModule": "qualified_name",
     "ExternalPackage": "name",
+    "MediaAsset": "name",
 }
 
 # Relationship types (reference constants/graph.py:147-172), grouped by
@@ -45,8 +46,11 @@ CAPTURE_GROUPS: dict[str, set[str]] = {
     "calls": {"CALLS", "REFERENCES", "INSTANTIATES"},
     "io": {"READS_FROM", "WRITES_TO", "FLOWS_TO"},
     "findings": {"IMPLEMENTS_PATTERN", "HAS_SMELL", "HAS_VULNERABILITY"},
+    # engine extension for the interleaved-span input contract: media spans
+    # attributed to their tightest enclosing definition (plans/spans.py)
+    "media": {"HAS_MEDIA"},
 }
-DEFAULT_GROUPS = ("structure", "imports", "types", "calls")
+DEFAULT_GROUPS = ("structure", "imports", "types", "calls", "media")
 
 
 def enabled_rels(groups: tuple[str, ...] = DEFAULT_GROUPS) -> set[str]:
@@ -91,7 +95,7 @@ MENTIONS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("module_qn", T.StringType(), False),
         # kind: module | function | class | interface | enum | method
-        #     | import | call | ref | inherit | export | dependency
+        #     | import | call | ref | inherit | export | dependency | returns
         T.StructField("kind", T.StringType(), False),
         # natural qualified name (pre variant-minting) for definitions;
         # null for call/import/inherit mentions
@@ -118,6 +122,11 @@ MENTIONS_SCHEMA = T.StructType(
         # super() dispatch: the class whose ancestor chain provides the
         # method (resolved by a closure join, reference rung 6)
         T.StructField("super_hint", T.StringType(), True),
+        # receiver-type source expression, as written (v = Circle() →
+        # 'Circle'; chained make().m() → 'make'): the class it names is
+        # resolved downstream by the type-inference rung joins
+        # (reference parsers/type_inference.py; SURVEY §2.12)
+        T.StructField("recv_expr", T.StringType(), True),
         # inherits: 0-based position in the base list (semantic: first-match
         # -wins method resolution; reference keeps base_index on the edge)
         T.StructField("base_index", T.IntegerType(), True),

@@ -60,7 +60,7 @@ def test_incremental_equals_full_rebuild(spark, store_dir):
     assert ("inc.b.fb", "CALLS", "inc.a.fa") in base
 
     g2, stats2 = incremental_build(spark, _docs(spark, V2), store)
-    assert stats2["mode"] == "incremental"
+    assert stats2["mode"].startswith("incremental")
     assert stats2["changed"] == 2  # b.py edited, d.py new
     assert stats2["deleted"] == 1  # c.py gone
 
@@ -155,3 +155,46 @@ def test_canonicalization_linking(spark):
     cc_df = connected_components(pairs)
     rewritten = rewrite_edges_canonical(edges, cc_df.withColumnRenamed("canonical_id", "canonical_id")).collect()
     assert [(r.subj, r.obj) for r in rewritten] == [("a", "d")]
+
+
+def _mk_scoped_corpus(n=14):
+    docs = [_doc("s/__init__.py", "")]
+    for i in range(n):
+        docs.append(
+            _doc(f"s/m{i}.py", f"def f{i}():\n    g{i}()\n\ndef g{i}():\n    pass\n")
+        )
+    docs.append(_doc("s/user.py", "from s.m3 import f3\n\ndef use():\n    f3()\n"))
+    return docs
+
+
+def test_scoped_incremental_small_radius(spark, store_dir):
+    """Editing 1 of N independent docs reruns the join phase for O(changed)
+    docs only (blast radius), and the result still equals a full rebuild —
+    including cross-doc invalidation (user.py's CALLS into the edited doc)."""
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+    from code_graph_rag_spark.pipeline import build_graph
+
+    store = StageStore(store_dir)
+    v1 = _mk_scoped_corpus()
+    g1, _ = incremental_build(spark, _docs(spark, v1), store)
+    assert ("s.user.use", "CALLS", "s.m3.f3") in _triples(g1)
+
+    # edit m3: f3 removed, h3 added — user.py's edge must disappear
+    v2 = [d for d in v1 if d["doc_id"] != "s/m3.py"]
+    v2.append(_doc("s/m3.py", "def g3():\n    pass\n\ndef h3():\n    g3()\n"))
+    g2, stats = incremental_build(spark, _docs(spark, v2), store)
+    assert stats["mode"] == "incremental_scoped", stats
+    # radius: m3 itself + user.py (imports the removed name); everything
+    # else is kept as provenance rows — O(changed), not O(corpus)
+    assert stats["scoped_docs"] <= 4, stats
+    assert stats["total_docs"] == len(v2)
+
+    clean = build_graph(_docs(spark, v2))
+    assert _triples(g2) == _triples(clean)
+    assert {(r.label, r.id) for r in g2.nodes.collect()} == {
+        (r.label, r.id) for r in clean.nodes.collect()
+    }
+    assert ("s.user.use", "CALLS", "s.m3.f3") not in _triples(g2)
+    clean.unpersist()
+    g1.unpersist()
+    g2.unpersist()

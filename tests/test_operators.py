@@ -143,12 +143,85 @@ def test_multimodal_plumbing(spark):
     )
 
     media = media_from_documents(polyglot(spark))
-    feats = extract_features(media).collect()
-    assert len(feats) == 1
-    f0 = feats[0]
+    feats = sorted(extract_features(media).collect(), key=lambda r: r.media_id)
+    assert len(feats) == 2
+    f0 = feats[1]
     assert f0.media_id == "assets/shape-diagram.png"
     assert f0.n_bytes == len(b"assets/shape-diagram.png")
     assert len(f0.features) == 8
     # deterministic fake decoder
-    again = extract_features(media).collect()[0]
+    again = sorted(
+        extract_features(media).collect(), key=lambda r: r.media_id
+    )[1]
     assert again.features == f0.features
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Multi-probe LSH must reach recall@10 ≥ 0.8 vs brute force — an
+    approximate operator with unmeasured recall is indistinguishable from a
+    broken one (round-1 verdict)."""
+    import math
+
+    from code_graph_rag_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [math.sin(i * 0.7 + j * 1.9) + math.cos(i * j * 0.13) for j in range(16)])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    ap = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(corpus, queries, dim=16, k=10).collect()
+    }
+    recall = len(bf & ap) / len(bf)
+    assert recall >= 0.8, f"recall@10={recall:.2f}"
+
+
+def test_hub_shingle_cap_bounds_pairs(spark):
+    """Adversarial boilerplate corpus: every doc shares a boilerplate
+    sentence. Uncapped, the inverted-index join pairs everything with
+    everything; the DF cap drops the hub shingles and bounds the output."""
+    from code_graph_rag_spark.operators.dedup import (
+        hub_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "this document is confidential and proprietary to the company"
+    rows = [
+        (i, f"{boiler} unique content piece number {i} with extra {i * 7}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_df_frac=None
+    ).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df_frac=0.5).count()
+    assert uncapped == 40 * 39 / 2  # every pair shares the boilerplate
+    assert capped == 0  # hub shingles dropped; unique tails never collide
+    hubs = hub_shingles(docs, max_df_frac=0.5).collect()
+    assert all(h.df == 40 for h in hubs) and len(hubs) >= 8
+
+
+def test_lsh_band_bucket_cap(spark):
+    """A boilerplate band bucket larger than max_bucket is dropped."""
+    from code_graph_rag_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, "identical boilerplate text in every doc") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unbounded = lsh_candidate_pairs(docs).count()
+    bounded = lsh_candidate_pairs(docs, max_bucket=5).count()
+    assert unbounded == 30 * 29 / 2
+    assert bounded == 0

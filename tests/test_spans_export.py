@@ -69,3 +69,18 @@ def test_export_import_roundtrip(spark, slice0_graph):
         (r.label, r.id) for r in slice0_graph.nodes.collect()
     }
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_media_span_attribution(polyglot_graph):
+    """Interleaved media spans flow through tightest_containing_span in the
+    pipeline: an asset inside a function body attaches to the function; one
+    between top-level definitions falls back to the module."""
+    rows = {
+        (r.subj, r.obj)
+        for r in polyglot_graph.edges.filter(
+            polyglot_graph.edges.pred == "HAS_MEDIA"
+        ).collect()
+    }
+    assert ("poly.media.render_doc", "assets/inline-figure.png") in rows
+    assert ("poly.shapes", "assets/shape-diagram.png") in rows
+    assert len(rows) == 2
