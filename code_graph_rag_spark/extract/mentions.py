@@ -84,6 +84,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = pd.DataFrame(rows, columns=_COLS)
         for c in _INT_COLS:
             out[c] = out[c].astype("Int32")
+        out["is_ret"] = out["is_ret"].map(lambda v: bool(v) if v is not None and v == v else False)
         yield out
 
 

@@ -98,6 +98,9 @@ _CTOR_RE = re.compile(rf"^({_DOTTED})\s*\(")
 _RETURN_RE = re.compile(rf"^return\s+(?:await\s+)?({_DOTTED})\s*\(")
 _PARAM_ANN_RE = re.compile(rf"^\s*\*{{0,2}}({_ID})\s*:\s*({_DOTTED})\s*(?:=.*)?$")
 _STR_STMT_RE = re.compile(r"^[rbufRBUF]{0,3}('''|\"\"\"|'|\")")
+_LIT_AT_RE = re.compile(r"\s*[rbufRBUF]{0,3}('|\")")
+_COMMA_RE = re.compile(r"\s*,")
+_RET_PREFIX_RE = re.compile(r"^\s*return\s+(?:await\s+)?")
 
 _OPENERS = frozenset("([{")
 _CLOSERS = frozenset(")]}")
@@ -158,15 +161,20 @@ def _find_quote_end(line: str, start: int, quote: str) -> int:
     return -1
 
 
-def _strip_strings_and_comments(line: str) -> tuple[str, str | None]:
+def _strip_strings_and_comments(line: str) -> tuple[str, str, str | None]:
     """Blank out string-literal contents and trailing comments so the call
     regex never fires inside them.
 
-    Returns ``(cleaned_line, open_triple)`` where ``open_triple`` is the
-    quote style of a triple-quoted string that OPENED on this line without
-    closing (including mid-statement opens like ``x = '''...``) — the caller
-    must treat following lines as string content until it closes."""
+    Returns ``(cleaned, literal_preserving, open_triple)``: ``cleaned`` has
+    string contents blanked; ``literal_preserving`` is the SAME length with
+    comments cut identically but string contents kept (the io-sink pass
+    reads literal file paths / URLs / modes out of it at the positions the
+    cleaned line's regexes matched); ``open_triple`` is the quote style of a
+    triple-quoted string that OPENED on this line without closing (including
+    mid-statement opens like ``x = '''...``) — the caller must treat
+    following lines as string content until it closes."""
     out = []
+    lit = []
     i, n = 0, len(line)
     open_triple: str | None = None
     while i < n:
@@ -180,14 +188,17 @@ def _strip_strings_and_comments(line: str) -> tuple[str, str | None]:
                 if len(quote) == 3:
                     open_triple = quote
                 out.append(" " * (n - i))
+                lit.append(line[i:])
                 i = n
                 break
             out.append(quote + " " * (end - i - 2 * len(quote)) + quote)
+            lit.append(line[i:end])
             i = end
             continue
         out.append(ch)
+        lit.append(ch)
         i += 1
-    return "".join(out), open_triple
+    return "".join(out), "".join(lit), open_triple
 
 
 def _net_depth(clean: str) -> int:
@@ -200,28 +211,44 @@ def _net_depth(clean: str) -> int:
     return d
 
 
-def _logical_lines(lines: list[str]) -> list[tuple[int, str, str]]:
+def _logical_lines(lines: list[str]) -> list[tuple[int, str, str, str]]:
     """Join physical lines into logical statements.
 
-    Returns ``[(start_line_no, raw_first_line, clean_joined)]`` where
-    ``clean_joined`` has strings/comments blanked and continuation lines
-    (open brackets, trailing backslash, multi-line strings) merged. A pure
+    Returns ``[(start_line_no, raw_first_line, clean_joined, lit_joined)]``
+    where ``clean_joined`` has strings/comments blanked and continuation
+    lines (open brackets, trailing backslash, multi-line strings) merged,
+    and ``lit_joined`` is position-aligned with ``clean_joined`` but keeps
+    string-literal contents (for the io-sink literal extraction). A pure
     multi-line-string statement (e.g. a docstring) yields ``clean_joined=''``
     with the raw first line preserved for docstring capture.
     """
-    out: list[tuple[int, str, str]] = []
+    out: list[tuple[int, str, str, str]] = []
     in_triple: str | None = None
     parts: list[str] = []
+    lparts: list[str] = []
     raw_first = ""
     start = 0
     depth = 0
     cont = False
 
+    def add_part(clean: str, lit: str) -> None:
+        nonlocal cont, depth
+        c = clean.rstrip()
+        cont = c.endswith("\\")
+        if cont:
+            cut = len(c) - 1
+            parts.append(clean[:cut])
+            lparts.append(lit[:cut])
+        else:
+            parts.append(clean)
+            lparts.append(lit)
+        depth += _net_depth(clean)
+
     def flush() -> None:
-        nonlocal parts, depth, cont
+        nonlocal parts, lparts, depth, cont
         if parts:
-            out.append((start, raw_first, " ".join(parts)))
-        parts, depth, cont = [], 0, False
+            out.append((start, raw_first, " ".join(parts), " ".join(lparts)))
+        parts, lparts, depth, cont = [], [], 0, False
 
     for idx, raw in enumerate(lines):
         ln = idx + 1
@@ -233,37 +260,48 @@ def _logical_lines(lines: list[str]) -> list[tuple[int, str, str]]:
             if pos == -1:
                 continue
             rest = raw[pos + 3 :]
-            clean, opened = _strip_strings_and_comments(rest)
+            clean, lit, opened = _strip_strings_and_comments(rest)
             in_triple = opened
             if parts:
-                c = clean.rstrip()
-                cont = c.endswith("\\")
-                parts.append(c[:-1] if cont else clean)
-                depth += _net_depth(clean)
+                add_part(clean, lit)
                 if depth <= 0 and not cont and in_triple is None:
                     flush()
             elif clean.strip():
-                out.append((ln, rest, clean))
+                out.append((ln, rest, clean, lit))
             continue
 
-        clean, opened = _strip_strings_and_comments(raw)
+        clean, lit, opened = _strip_strings_and_comments(raw)
         if opened:
             in_triple = opened
         if not parts:
             if not clean.strip():
                 if opened:
                     # pure unterminated-string statement (docstring start)
-                    out.append((ln, raw, ""))
+                    out.append((ln, raw, "", ""))
                 continue
             start, raw_first = ln, raw
-        c = clean.rstrip()
-        cont = c.endswith("\\")
-        parts.append(c[:-1] if cont else clean)
-        depth += _net_depth(clean)
+        add_part(clean, lit)
         if depth <= 0 and not cont and in_triple is None:
             flush()
     flush()
     return out
+
+
+def _literal_after(
+    clean: str, lit: str, pos: int
+) -> tuple[str | None, int]:
+    """Extract a string literal starting at ``pos`` in the cleaned line,
+    reading its content from the position-aligned literal-preserving line.
+    Returns (content or None, index just past the closing quote)."""
+    m = _LIT_AT_RE.match(clean, pos)
+    if not m:
+        return None, pos
+    q = m.group(1)
+    qstart = m.end() - 1
+    qend = clean.find(q, qstart + 1)
+    if qend == -1:
+        return None, pos
+    return lit[qstart + 1 : qend], qend + 1
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -400,7 +438,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             row, _ = open_defs.pop()
             row["end_line"] = line_no - 1
 
-    for line_no, raw, line in _logical_lines(lines):
+    for line_no, raw, line, lit_line in _logical_lines(lines):
         stripped = line.strip()
 
         # docstring capture: first statement after a def/class header
@@ -653,12 +691,22 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                 )
 
         seen_spans: list[tuple[int, int]] = []
+        rp = _RET_PREFIX_RE.match(line)
+        ret_pos = rp.end() if rp else -1
         for cm in _CALL_RE.finditer(line):
             callee = cm.group(1)
             first = callee.split(".")[0]
             if first in KEYWORDS or first == "super":
                 continue
             seen_spans.append((cm.start(1), cm.end(1)))
+            # literal args for the io-sink pass (file path / url / mode):
+            # content comes from the position-aligned literal line
+            arg0, after = _literal_after(line, lit_line, cm.end())
+            arg1 = None
+            if arg0 is not None:
+                m2 = _COMMA_RE.match(line, after)
+                if m2:
+                    arg1, _ = _literal_after(line, lit_line, m2.end())
             call_rows.append(
                 {
                     "kind": "call",
@@ -667,6 +715,11 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     "start_line": line_no,
                     "start_col": cm.start(1),
                     "callee": callee,
+                    "arg0_lit": arg0,
+                    "arg1_lit": arg1,
+                    # outermost call of a `return expr(...)` statement:
+                    # the FLOWS_TO (via=return) source (flow_access analogue)
+                    "is_ret": cm.start(1) == ret_pos,
                     "_caller_stack": [s.qn for s in stack if s.kind != "class"],
                     "_class_qn": next(
                         (s.qn for s in reversed(stack) if s.kind == "class"), None

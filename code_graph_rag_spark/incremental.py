@@ -256,6 +256,39 @@ class StageStore:
             shutil.rmtree(self._vpath(name, old), ignore_errors=True)
         return entry
 
+    def merge_stage(
+        self,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_keys: DataFrame | None = None,
+        mode: str = "merge",
+    ) -> dict:
+        """MERGE INTO-shaped upsert (the reference's create-vs-merge write
+        mode, ``services/graph_service.py:108-119,512-546``; Iceberg
+        ``MERGE INTO`` semantics on the parquet stand-in).
+
+        ``mode='create'`` replaces the stage outright (the reference's
+        create mode drops-and-rewrites); ``mode='merge'`` upserts: rows
+        matching ``updates`` on ``key_cols`` are replaced, ``delete_keys``
+        rows are removed, everything else is carried over — written as a
+        NEW snapshot version (snapshot isolation preserved)."""
+        if mode == "create" or not self.has_stage(name):
+            return self.write_stage(name, updates, mode=mode)
+        spark = updates.sparkSession
+        current = self.read_stage(spark, name)
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        if delete_keys is not None:
+            kept = kept.join(
+                delete_keys.select(*key_cols).distinct(),
+                key_cols,
+                "left_anti",
+            )
+        merged = kept.unionByName(updates.select(*current.columns))
+        return self.write_stage(name, merged, mode=mode)
+
     def read_stage(self, spark: SparkSession, name: str) -> DataFrame:
         version = int(self.lineage()[name]["version"])
         return spark.read.parquet(self._vpath(name, version))

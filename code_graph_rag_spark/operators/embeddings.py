@@ -1,0 +1,123 @@
+"""Entity embeddings + semantic search over graph entities.
+
+The reference embeds function/method source text into a vector store at
+ingest time and retrieves by cosine (``graph_updater.py:2051-2181``,
+``vector_store.py``). A real encoder is a network model that is not present
+in this container, so the ENCODER IS A DETERMINISTIC STUB — a char-trigram
+hashing embedder (clearly marked, same policy as the multimodal codec
+stub). Everything around it is real and tested: the Arrow-batched
+``mapInPandas`` embedding pass over the node table, the (entity_id,
+embedding array<float>) sink schema, and the ANN wiring
+(``operators/similarity.py`` brute-force / multi-probe LSH) from a text
+query back to graph entities.
+
+At 100 TB: the embedding pass is one scan of the entity table (embarrassingly
+parallel, no shuffle); the embedded table is written bucketed by LSH bucket
+(``with_lsh_bucket``) so repeated queries only touch their probe buckets.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 64
+
+_EMBEDDABLE = ("Function", "Method", "Class", "Module", "Interface", "Enum")
+
+
+def embed_texts(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """STUB ENCODER: deterministic char-trigram hashing into ``dim`` buckets,
+    L2-normalized. Swap for a real model's batch-encode at deployment; the
+    signature (list[str] → (n, dim) float32) is the integration contract."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        s = f"^{(t or '').lower()}$"
+        for j in range(len(s) - 2):
+            h = zlib.crc32(s[j : j + 3].encode("utf-8"))
+            out[i, h % dim] += 1.0 + (h >> 16) % 3
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return (out / np.maximum(norms, 1e-300)).astype(np.float32)
+
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def embed_entities(nodes: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Graph entities → (entity_id, label, embedding).
+
+    Embeds the qualified name (dotted path is the identifier text the
+    reference embeds alongside source). One scan, Arrow-batched, no shuffle.
+    """
+    ents = nodes.filter(F.col("label").isin(*_EMBEDDABLE)).select(
+        "id", "label", "name"
+    )
+
+    def embed(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"entity_id": [], "label": [], "embedding": []}
+                )
+                continue
+            vecs = embed_texts(
+                [f"{i} {n}" for i, n in zip(pdf["id"], pdf["name"])], dim
+            )
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["id"],
+                    "label": pdf["label"],
+                    "embedding": list(map(list, vecs)),
+                }
+            )
+
+    return ents.mapInPandas(embed, schema=_EMB_SCHEMA)
+
+
+def semantic_search(
+    nodes: DataFrame, query: str, k: int = 10, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Text query → top-k graph entities by embedding cosine.
+
+    The read path of the reference's semantic code search
+    (``tools/codebase_query.py`` retrieval leg): embed the query
+    driver-side, stream the entity embeddings once, exact top-k.
+    """
+    from code_graph_rag_spark.operators.similarity import brute_force_topk
+
+    spark = nodes.sparkSession
+    # numeric ids for the ANN operator without a global ordering shuffle:
+    # xxhash64 of the entity id (deterministic; ties in top-k break on it)
+    emb = embed_entities(nodes, dim).withColumn(
+        "vec_id", F.xxhash64("entity_id")
+    )
+    qvec = [float(x) for x in embed_texts([query], dim)[0]]
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id long, q_embedding array<double>"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    top = brute_force_topk(corpus, queries, k=k)
+    return (
+        top.join(emb.select("vec_id", "entity_id", "label"), "vec_id")
+        .select(
+            "entity_id",
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -152,18 +152,27 @@ def with_lsh_bucket(
     return df.mapInPandas(add_bucket, schema=schema)
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount ≤ radius (multi-probe bucket offsets)."""
+    return [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= radius
+    ]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int | None = None,
     k: int = 5,
     n_planes: int = 6,
-    multiprobe: bool = True,
+    probe_radius: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's sign-LSH bucket plus (with
-    ``multiprobe``) every bucket at Hamming distance 1 — n_planes+1 probes,
-    each an equi-join key, so each query touches ~(n_planes+1)/2^n_planes
-    of the corpus. Recall@10 vs brute force is asserted ≥ 0.8 in tests.
+    """Approximate top-k: probe the query's sign-LSH bucket plus every
+    bucket within Hamming distance ``probe_radius`` — each probe is an
+    equi-join key. With radius 2 a query touches (1 + C(p,1) + C(p,2)) /
+    2^p of the corpus (34% at 6 planes for tiny data, 0.2% at 16 planes
+    for cluster scale — grow planes with the corpus, not the radius).
+    Recall@10 vs brute force is asserted ≥ 0.8 in tests.
     """
     if dim is None:
         dim = _embedding_dim(corpus)
@@ -172,16 +181,14 @@ def lsh_topk(
     planes = planes_matrix(dim, n_planes)
     weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
     qrows = queries.select("query_id", "q_embedding").collect()
+    masks = probe_masks(n_planes, probe_radius)
     probe_rows = []
     for r in qrows:
         v = np.array(list(r["q_embedding"]), dtype=np.float64)
         bucket = int((((planes @ v) > 0) @ weights))
-        probes = [bucket]
-        if multiprobe:
-            probes += [bucket ^ (1 << i) for i in range(n_planes)]
-        for p in probes:
+        for m in masks:
             probe_rows.append(
-                (int(r["query_id"]), p, [float(x) for x in r["q_embedding"]])
+                (int(r["query_id"]), bucket ^ m, [float(x) for x in r["q_embedding"]])
             )
     spark = corpus.sparkSession
     qb = F.broadcast(

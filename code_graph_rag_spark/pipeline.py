@@ -46,6 +46,7 @@ from code_graph_rag_spark.plans.resolution import (
     call_edges,
     resolve_calls,
 )
+from code_graph_rag_spark.plans.io_flow import flow_edges, io_edges
 from code_graph_rag_spark.plans.spans import tightest_containing_span
 from code_graph_rag_spark.plans.structure import module_containment, structure_pass
 from code_graph_rag_spark.plans.triples import (
@@ -69,6 +70,9 @@ class GraphResult:
     # per-provenance edge rows (edge × src_doc) BEFORE the final cross-doc
     # dedup — the incremental delete+insert unit
     edges_prov: DataFrame = None
+    # the winning resolution rows (mention → target) — feeds
+    # queries.resolution_stats (unresolved-mention observability)
+    resolved: DataFrame = None
     # every internally persisted frame — unpersisting ALL of them matters
     # for long sessions (leaked caches measured a 1.75x slowdown on the
     # second build in one session)
@@ -292,6 +296,10 @@ def assemble_graph(
     )
     call_e = call_edges(resolved, entities)
 
+    # ---- io capture group (off in DEFAULT_GROUPS, like the reference) ----
+    io_e = io_edges(mentions, alias)
+    flow_e = flow_edges(resolved)
+
     # ---- exports: __all__ symbols → Module EXPORTS Class/Function ----
     exports = (
         mentions.filter(F.col("kind") == "export")
@@ -378,6 +386,8 @@ def assemble_graph(
         exports,
         deps,
         media_edges,
+        io_e,
+        flow_e,
     )
     edges_prov = new_prov
     if kept_edges_prov is not None:
@@ -401,6 +411,16 @@ def assemble_graph(
         )
         .distinct()
     )
+    resource_nodes = (
+        edges_prov.filter(F.col("obj_label") == "Resource")
+        .select(
+            F.lit("Resource").alias("label"),
+            F.col("obj").alias("id"),
+            F.element_at(F.split("obj", "::"), -1).alias("name"),
+            F.lit(None).cast("string").alias("path"),
+        )
+        .dropDuplicates(["id"])
+    )
     media_nodes = (
         edges_prov.filter(F.col("pred") == "HAS_MEDIA")
         .select(
@@ -417,6 +437,7 @@ def assemble_graph(
         .unionByName(_pad_nodes(ext_nodes))
         .unionByName(_pad_nodes(ext_pkg_nodes))
         .unionByName(_pad_nodes(media_nodes))
+        .unionByName(_pad_nodes(resource_nodes))
         .dropDuplicates(["label", "id"])
     )
     # nodes/edges trees are shallow once the fan-out frames above are
@@ -431,5 +452,6 @@ def assemble_graph(
         mentions=mentions,
         entities=entities,
         edges_prov=edges_prov,
+        resolved=resolved,
         persisted=registry,
     )

@@ -335,6 +335,7 @@ def resolve_calls(
         "class_ctx_hint",
         "super_hint",
         "recv_expr",
+        F.coalesce(F.col("is_ret"), F.lit(False)).alias("is_ret"),
         F.split(F.col("callee"), "\\.").getItem(0).alias("first_seg"),
         F.when(
             F.instr(F.col("callee"), ".") > 0,
@@ -358,6 +359,7 @@ def resolve_calls(
         "caller_qn",
         "caller_label",
         "callee",
+        "is_ret",
     ]
 
     c1 = calls.filter(F.col("enclosing_hint").isNotNull()).select(

@@ -54,22 +54,80 @@ def reachable(
 def dead_code(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Unreachable Function/Method nodes.
 
-    Roots (dead_code.py root selection, simplified to our schema): module
-    top-level code (Module nodes — module-level calls originate there),
-    dunder-named and decorated definitions, and test-path symbols.
+    Roots (dead_code.py:65-200 root selection, mapped to our schema):
+    module top-level code (Module nodes — module-level calls originate
+    there), dunder-named and decorated definitions, test-path symbols,
+    entry-point ``main`` functions, and exported symbols (``__all__`` —
+    a public API is alive even without an internal caller).
     """
     dunder = F.col("name").rlike(r"^__.*__$")
     decorated = F.col("props").isNotNull() & F.col("props").contains(
         '"decorators"'
     )
     test_path = F.coalesce(F.col("path"), F.lit("")).rlike(r"(^|/)tests?(/|_)")
+    entry_point = (F.col("label") == "Function") & (F.col("name") == "main")
     roots = nodes.filter(
-        (F.col("label") == "Module") | dunder | decorated | test_path
+        (F.col("label") == "Module")
+        | dunder
+        | decorated
+        | test_path
+        | entry_point
     ).select("id")
+    exported = edges.filter(F.col("pred") == "EXPORTS").select(
+        F.col("obj").alias("id")
+    )
+    roots = roots.unionByName(exported).distinct()
     alive = reachable(edges, roots)
     return (
         nodes.filter(F.col("label").isin("Function", "Method"))
         .join(alive, nodes["id"] == alive["id"], "left_anti")
         .select("label", "id", "name", "path")
         .orderBy("id")
+    )
+
+
+def find_with_prefix(nodes: DataFrame, prefix: str) -> DataFrame:
+    """Prefix subtree search — the trie ``find_with_prefix`` read path
+    (reference ``function_registry.py:281-283``) as a prefix predicate.
+
+    On a parquet/Iceberg node table sorted (or bucketed) by id this compiles
+    to a range scan: ``id >= prefix AND id < prefix + chr(0x10FFFF)`` with
+    both bounds pushed into the scan."""
+    hi = prefix + "\U0010ffff"
+    return (
+        nodes.filter((F.col("id") >= prefix) & (F.col("id") < hi))
+        .select("label", "id", "name")
+        .orderBy("id")
+    )
+
+
+def resolution_stats(mentions: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Unresolved-mention observability (round-1 verdict: silent drops are
+    an unflagged recall gap). Per mention kind: total mentions entering the
+    ladder, how many resolved, how many were dropped by every rung."""
+    total = (
+        mentions.filter(F.col("kind").isin("call", "ref"))
+        .withColumn(
+            "mention_id",
+            F.concat_ws(
+                "#", "doc_id", "start_line", "start_col", "callee", "kind"
+            ),
+        )
+        .groupBy("kind")
+        .agg(F.countDistinct("mention_id").alias("n_mentions"))
+    )
+    done = resolved.groupBy("kind").agg(
+        F.countDistinct("mention_id").alias("n_resolved")
+    )
+    return (
+        total.join(done, "kind", "left")
+        .select(
+            "kind",
+            "n_mentions",
+            F.coalesce("n_resolved", F.lit(0)).alias("n_resolved"),
+            (
+                F.col("n_mentions") - F.coalesce("n_resolved", F.lit(0))
+            ).alias("n_unresolved"),
+        )
+        .orderBy("kind")
     )

@@ -27,6 +27,7 @@ NODE_KEYS: dict[str, str] = {
     "ExternalModule": "qualified_name",
     "ExternalPackage": "name",
     "MediaAsset": "name",
+    "Resource": "qualified_name",
 }
 
 # Relationship types (reference constants/graph.py:147-172), grouped by
@@ -122,6 +123,13 @@ MENTIONS_SCHEMA = T.StructType(
         # super() dispatch: the class whose ancestor chain provides the
         # method (resolved by a closure join, reference rung 6)
         T.StructField("super_hint", T.StringType(), True),
+        # io-sink literal args (open('path', 'mode') → path/mode; url; env
+        # key) read from the literal-preserving line; the io pass joins the
+        # alias-expanded callee against the sink registry downstream
+        T.StructField("arg0_lit", T.StringType(), True),
+        T.StructField("arg1_lit", T.StringType(), True),
+        # outermost call of a `return f(...)` statement → FLOWS_TO source
+        T.StructField("is_ret", T.BooleanType(), True),
         # receiver-type source expression, as written (v = Circle() →
         # 'Circle'; chained make().m() → 'make'): the class it names is
         # resolved downstream by the type-inference rung joins

@@ -198,3 +198,23 @@ def test_scoped_incremental_small_radius(spark, store_dir):
     clean.unpersist()
     g1.unpersist()
     g2.unpersist()
+
+
+def test_merge_stage_upsert(spark, store_dir):
+    """MERGE INTO-shaped upsert: matched keys replaced, delete keys removed,
+    the rest carried over — as a new snapshot version."""
+    from code_graph_rag_spark.incremental import StageStore
+
+    store = StageStore(store_dir)
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    store.merge_stage("t", base, ["k"], mode="create")
+    ups = spark.createDataFrame([("b", 20), ("d", 40)], "k string, v int")
+    dels = spark.createDataFrame([("c",)], "k string")
+    store.merge_stage("t", ups, ["k"], delete_keys=dels)
+    got = {
+        (r.k, r.v) for r in store.read_stage(spark, "t").collect()
+    }
+    assert got == {("a", 1), ("b", 20), ("d", 40)}
+    assert store.lineage()["t"]["version"] == 2
