@@ -46,7 +46,9 @@ def _noop_write(df) -> int:
     return 0
 
 
-def run_bench(cores: int, include_queries: bool = True) -> dict:
+def run_bench(
+    cores: int, include_queries: bool = True, kg_docs: int = KG_DOCS
+) -> dict:
     from code_graph_rag_spark.fixtures import synth_corpus_distributed
     from code_graph_rag_spark.pipeline import build_graph
     from code_graph_rag_spark.session import get_spark
@@ -62,7 +64,7 @@ def run_bench(cores: int, include_queries: bool = True) -> dict:
     # --- KG construction throughput (the BASELINE.json metric) ---
     # corpus generated on executors and persisted BEFORE timing starts, so
     # kg_secs measures the engine only
-    docs = synth_corpus_distributed(spark, KG_DOCS).persist()
+    docs = synth_corpus_distributed(spark, kg_docs).persist()
     n_docs = docs.count()
     t0 = time.time()
     g = build_graph(docs)
@@ -105,14 +107,43 @@ def main() -> None:
         "cores": CPUS,
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        small = run_bench(max(CPUS // 4, 1), include_queries=False)
-        # scaling efficiency between N and 4N cores on identical input
-        speedup = small["kg_secs"] / result["kg_secs"]
+        # the two-cluster-size criterion: identical input, N vs 4N cores.
+        # Measured at a corpus size where per-stage fixed cost is amortized
+        # (at 2k docs the ~25-30 s of stage/setup overhead dominates and
+        # MORE cores lose — that measures the harness, not the engine), and
+        # each leg in a FRESH SUBPROCESS: back-to-back sessions in one JVM
+        # contaminate each other (measured 3x degradation on the second).
+        import subprocess
+
+        sdocs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "20000"))
+
+        def leg(cores: int) -> dict:
+            code = (
+                "import sys, json; sys.path.insert(0, "
+                f"{str(Path(__file__).resolve().parent)!r}); "
+                "from bench import run_bench; "
+                f"print('LEG', json.dumps(run_bench({cores}, "
+                f"include_queries=False, kg_docs={sdocs})))"
+            )
+            p = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True
+            )
+            for ln in p.stdout.splitlines():
+                if ln.startswith("LEG "):
+                    return json.loads(ln[4:])
+            raise RuntimeError(p.stderr[-800:])
+
+        big = leg(CPUS)
+        small = leg(max(CPUS // 4, 1))
+        speedup = small["kg_secs"] / big["kg_secs"]
         out["scaling"] = {
+            "kg_docs": sdocs,
             "cores_small": small["cores"],
             "cores_large": CPUS,
             "kg_secs_small": small["kg_secs"],
-            "kg_secs_large": result["kg_secs"],
+            "kg_secs_large": big["kg_secs"],
+            "triples_per_sec_small": small["triples_per_sec"],
+            "triples_per_sec_large": big["triples_per_sec"],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
         }

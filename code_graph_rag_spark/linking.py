@@ -12,12 +12,12 @@ Two stages, both pure DataFrame:
      ``pkg.mod.Store`` / ``pkg.mod_v2.Store`` style near-duplicates).
 
 2. **Canonicalization** — connected components over the candidate-pair
-   frame via iterative self-join label propagation (union-find analogue):
-   every entity's label converges to the minimum entity id in its
-   component; the minimum member becomes the canonical id. Hub-skew is
-   handled by **salting**: high-degree nodes are split across
-   ``n_salts`` shards during the propagate join and min-merged after, so a
-   single hub key never lands on one reducer (SURVEY §4 custom-work 1).
+   frame via alternating **large-star/small-star** rounds (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond"): O(log² n) rounds
+   independent of component diameter; the component minimum becomes the
+   canonical id. Hub-skew needs no salting here — every per-node minimum
+   is a plain min-aggregate with map-side partial combining, so a hub key
+   contributes one partial row per map task, never a single hot reducer.
 
 The reference's in-memory duplicate canonicalization is
 ``function_registry.py:69-90`` (variant minting, which we keep exactly —
@@ -136,69 +136,78 @@ def lsh_link_candidates(
     return out
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star step (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). Edges are symmetrized, each node
+    computes m = min(N(u) ∪ {u}) — a plain min-aggregate, so hub nodes get
+    map-side partial combining for free (no salting needed) — and rewires
+    the > u (large) or ≤ u (small) neighbors to m."""
+    sym = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    mins = (
+        sym.groupBy("x")
+        .agg(F.min("y").alias("mn"))
+        .select("x", F.least("mn", F.col("x")).alias("mn"))
+    )
+    j = sym.join(mins, "x")
+    if large:
+        out = j.filter(F.col("y") > F.col("x")).select(
+            F.col("y").alias("x"), F.col("mn").alias("y")
+        )
+    else:
+        out = j.filter(F.col("y") <= F.col("x")).select(
+            F.col("y").alias("x"), F.col("mn").alias("y")
+        ).unionByName(mins.select("x", F.col("mn").alias("y")))
+    return out.filter(F.col("x") != F.col("y")).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
-    n_salts: int = 8,
+    n_salts: int = 8,  # kept for API compat; map-side combine replaced salting
 ) -> DataFrame:
-    """Union-find over an edge frame: (entity_id, canonical_id).
+    """Connected components over an edge frame: (entity_id, canonical_id).
 
-    Label propagation to the component minimum. The propagate join is
-    salted: the adjacency is exploded into ``n_salts`` shards keyed
-    (node, salt) so hub nodes fan across reducers; shard minima are merged
-    by a second small aggregation. Converges in O(log(diameter))
-    double-direction rounds; every round cuts lineage (localCheckpoint) —
-    iterative-algorithm discipline (SURVEY §4).
+    Alternating large-star/small-star rounds converge in O(log² n) rounds
+    INDEPENDENT of component diameter (the round-1 min-label propagation
+    was O(diameter) — fine for shallow QN clusters, pathological for
+    chains). At the fixpoint the edge set is a star per component centered
+    on its minimum id. Every round cuts lineage (localCheckpoint);
+    convergence is detected by a (count, xxhash-sum) edge-set signature —
+    two cheap aggregates, no exceptAll.
     """
-    spark = pairs.sparkSession
+    _ = n_salts
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .filter(F.col("x") != F.col("y"))
         .distinct()
-        .persist()
-    )
-    # initial label = own id
-    labels = (
-        edges.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    salt = (F.abs(F.hash("y")) % n_salts).alias("salt")
-
-    for it in range(max_iter):
-        # propagate: each node's new label = min(own, neighbors' labels).
-        # join neighbor labels through the salted adjacency
-        lab_x = labels.select(F.col("node").alias("x"), F.col("label").alias("lx"))
-        neigh = (
-            edges.join(lab_x, "x")
-            .select(F.col("y"), F.col("lx"), salt)
-            .groupBy("y", "salt")
-            .agg(F.min("lx").alias("lmin_shard"))
-            .groupBy("y")
-            .agg(F.min("lmin_shard").alias("lneigh"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["y"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("lneigh"), F.col("label"))
-                ).alias("label"),
-                (F.col("lneigh") < F.col("label")).alias("changed"),
-            )
-        )
-        # each round is an action anyway (convergence check), so checkpoint
-        # every round: cuts lineage AND caches for the count
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
+    all_nodes = (
+        pairs.select(F.col("a").alias("entity_id"))
+        .unionByName(pairs.select(F.col("b").alias("entity_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _round in range(max_iter):
+        edges = _star_round(_star_round(edges, large=True), large=False)
+        edges = edges.localCheckpoint(eager=True)
+        sig_row = edges.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("x", "y")).alias("h")
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("entity_id"), F.col("label").alias("canonical_id")
+    mapping = edges.groupBy("x").agg(F.min("y").alias("canonical_id")).select(
+        F.col("x").alias("entity_id"), "canonical_id"
+    )
+    return all_nodes.join(mapping, "entity_id", "left").select(
+        "entity_id",
+        F.coalesce("canonical_id", F.col("entity_id")).alias("canonical_id"),
     )
 
 

@@ -52,13 +52,12 @@ def resolve_inherits(
             F.expr("substring(callee, instr(callee, '.') + 1)"),
         ).alias("rest"),
     )
-    balias = F.broadcast(
-        alias.select(
-            F.col("module_qn").alias("a_mqn"),
-            F.col("local_name").alias("a_local"),
-            "full_qn",
-            "is_external",
-        )
+    # alias frame scales with the corpus — AQE decides broadcast at runtime
+    balias = alias.select(
+        F.col("module_qn").alias("a_mqn"),
+        F.col("local_name").alias("a_local"),
+        "full_qn",
+        "is_external",
     )
     key = ["mention_id", "subj", "doc_id", "base", "base_index"]
 
@@ -201,6 +200,7 @@ def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
         .distinct()
     )
     clo = base.localCheckpoint(eager=True)
+    n_prev = clo.count()
     for _ in range(doublings):
         ext = (
             clo.alias("x")
@@ -219,6 +219,13 @@ def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
             .select("cls", "anc", F.col("m.depth").alias("depth"), F.col("m.ord").alias("ord"))
             .localCheckpoint(eager=True)
         )
+        # early exit: no new (cls, anc) pairs → the closure is complete
+        # (typical hierarchies are depth ≤ 2; saves two checkpoint rounds
+        # of the serial critical path)
+        n = clo.count()
+        if n == n_prev:
+            break
+        n_prev = n
     return clo
 
 
@@ -262,7 +269,23 @@ def mro_shadow_edges(
     cls_docs = entities.filter(F.col("label").isin(*_CLASSY)).select(
         F.col("qn").alias("root"), F.col("doc_id").alias("root_doc")
     ).dropDuplicates(["root"])
-    roots = closure.select(F.col("cls").alias("root")).distinct()
+    # a cross-branch shadow requires two ancestors neither of which inherits
+    # the other — impossible unless some node in the root's ancestor
+    # subgraph has ≥2 bases. Restrict the cogroup to those roots: in a
+    # single-inheritance corpus this is EMPTY (measured: the unfiltered
+    # per-class cogroup cost 54 s of pure Python group overhead at 20k docs)
+    multi_base = (
+        edges.groupBy("subj")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(F.col("subj").alias("mb"))
+    )
+    self_mb = multi_base.select(F.col("mb").alias("root"))
+    anc_mb = (
+        closure.join(multi_base, closure["anc"] == F.col("mb"), "left_semi")
+        .select(F.col("cls").alias("root"))
+    )
+    roots = self_mb.unionByName(anc_mb).distinct()
     if scope_docs is not None:
         roots = roots.join(
             cls_docs.join(

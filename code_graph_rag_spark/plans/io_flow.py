@@ -69,12 +69,11 @@ def io_edges(mentions: DataFrame, alias: DataFrame) -> DataFrame:
             F.expr("substring(callee, instr(callee, '.') + 1)"),
         ).alias("rest"),
     )
-    balias = F.broadcast(
-        alias.select(
-            F.col("module_qn").alias("a_mqn"),
-            F.col("local_name").alias("a_local"),
-            "full_qn",
-        )
+    # alias frame scales with the corpus — AQE decides broadcast at runtime
+    balias = alias.select(
+        F.col("module_qn").alias("a_mqn"),
+        F.col("local_name").alias("a_local"),
+        "full_qn",
     )
     expanded = calls.join(
         balias,

@@ -7,11 +7,13 @@ candidate rows tagged with a ``priority`` column, and a rank-1 window
 arbitrates — "first rung that answers wins" becomes
 ``row_number() over (partition by mention order by priority)``.
 
-Scale notes: the modules/alias frames are tiny relative to call mentions, so
-every rung join is an explicit ``broadcast()`` (the north rule's broadcast
-alias dictionary) — no shuffle of the big call frame except the final
-simple-name rung, which joins on the entity name (hash-partitioned, AQE skew
-handling for hub names like ``log``/``main``).
+Scale notes: the modules/alias frames scale linearly with the corpus, so no
+rung join FORCES a broadcast — a driver-built broadcast of a corpus-scaling
+frame is both a serial bottleneck (measured: the broadcast collect/build
+dominated the non-scaling part of the 20k-doc build) and impossible at
+100 TB. AQE promotes each rung join to broadcast at runtime while the small
+side is actually small; the simple-name fallback joins on the entity name
+(hash-partitioned, hub-name cap + AQE skew handling).
 """
 
 from __future__ import annotations
@@ -112,7 +114,10 @@ def build_alias_frame(
     refs = imp.select("project", F.col("callee").alias("ref")).unionByName(
         imp.select("project", F.col("target").alias("ref"))
     )
-    resolved = F.broadcast(resolve_import_targets(refs, modules))
+    # no forced broadcast: import-target resolution scales with the
+    # corpus (driver-side broadcast build was a measured serial cost);
+    # AQE promotes to broadcast at runtime while small
+    resolved = resolve_import_targets(refs, modules)
     bind = resolved.select(
         "project", F.col("ref").alias("callee"), "resolved_mqn"
     )
@@ -195,13 +200,15 @@ def _expr_candidates(exprs: DataFrame, alias: DataFrame) -> DataFrame:
             F.expr("substring(expr, instr(expr, '.') + 1)"),
         ).alias("rest"),
     )
-    balias = F.broadcast(
-        alias.select(
-            F.col("module_qn").alias("a_mqn"),
-            F.col("local_name").alias("a_local"),
-            "full_qn",
-            "is_external",
-        )
+    # no forced broadcast: the alias frame grows linearly with the corpus
+    # (per-module import rows) — at 100 TB it cannot be a driver-built
+    # broadcast; the join key (module_qn) co-partitions with the mention
+    # frame and AQE broadcasts at runtime while small
+    balias = alias.select(
+        F.col("module_qn").alias("a_mqn"),
+        F.col("local_name").alias("a_local"),
+        "full_qn",
+        "is_external",
     )
     via_alias = (
         e.join(
@@ -343,13 +350,15 @@ def resolve_calls(
         ).alias("rest"),
     )
 
-    balias = F.broadcast(
-        alias.select(
-            F.col("module_qn").alias("a_mqn"),
-            F.col("local_name").alias("a_local"),
-            "full_qn",
-            "is_external",
-        )
+    # no forced broadcast: the alias frame grows linearly with the corpus
+    # (per-module import rows) — at 100 TB it cannot be a driver-built
+    # broadcast; the join key (module_qn) co-partitions with the mention
+    # frame and AQE broadcasts at runtime while small
+    balias = alias.select(
+        F.col("module_qn").alias("a_mqn"),
+        F.col("local_name").alias("a_local"),
+        "full_qn",
+        "is_external",
     )
 
     key_cols = [
@@ -515,10 +524,26 @@ def resolve_calls(
     bare = (
         calls.filter(F.col("rest").isNull())
         .join(answered, "mention_id", "left_anti")
-        .join(F.broadcast(ext_bound), ["module_qn", "callee"], "left_anti")
+        .join(ext_bound, ["module_qn", "callee"], "left_anti")
     )
-    fallback_hits = bare.join(ent, bare["callee"] == ent["e_name"]).filter(
+    # hub-name cap: a simple name defined in hundreds of places (log, main,
+    # run in every module of a real corpus) cannot be disambiguated by a
+    # last-resort name match anyway — and joining it multiplies
+    # |calls_with_name| × |defs_with_name| before the rank can prune. Drop
+    # such names from the fallback entirely (the reference's trie returns
+    # them but resolution confidence is equally nil).
+    fallback_ent = ent.filter(
         F.col("target_label").isin("Function", "Method", "Class")
+    ).join(
+        ent.groupBy("e_name")
+        .agg(F.countDistinct("e_qn").alias("n_defs"))
+        .filter(F.col("n_defs") <= 64)
+        .select("e_name"),
+        "e_name",
+        "left_semi",
+    )
+    fallback_hits = bare.join(
+        fallback_ent, bare["callee"] == fallback_ent["e_name"]
     ).select(
         *key_cols,
         F.lit(P_SIMPLE_NAME).alias("priority"),

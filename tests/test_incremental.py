@@ -218,3 +218,21 @@ def test_merge_stage_upsert(spark, store_dir):
     }
     assert got == {("a", 1), ("b", 20), ("d", 40)}
     assert store.lineage()["t"]["version"] == 2
+
+
+def test_connected_components_long_chain(spark):
+    """Large-star/small-star CC converges on a chain in O(log²) rounds —
+    the O(diameter) label-propagation failure shape (round-1 verdict)."""
+    from code_graph_rag_spark.linking import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "a string, b string",
+    )
+    cc = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert len(cc) == n + 1
+    assert set(cc.values()) == {"n000"}
