@@ -46,24 +46,34 @@ _PERMS = [
 ]
 
 
-def qn_shingles(col, n: int = 3):
-    """Character n-gram shingles of a qualified name (dots kept — they
-    carry structure)."""
-    padded = F.concat(F.lit("^"), col, F.lit("$"))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length(padded) - n, F.lit(0))),
-            lambda i: F.substring(padded, i + 1, n),
+def minhash_qn_signatures(entities: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+    """(entity_id, sig array<long>[k]) over character n-gram shingles of the
+    qualified name (dots kept — they carry structure).
+
+    Codegen-only shingling: explode an index sequence, then a top-level
+    ``substring`` — no interpreted array HOFs in the per-entity path (the
+    round-1 hot-path rule). Duplicate shingles are harmless: the min
+    aggregate over a multiset equals the min over its distinct set, so no
+    dedup shuffle is needed.
+    """
+    sh = (
+        entities.select(
+            F.col("qualified_name").alias("entity_id"),
+            F.concat(F.lit("^"), F.col("qualified_name"), F.lit("$")).alias("p"),
         )
+        .select(
+            "entity_id",
+            "p",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("p") - (n - 1), F.lit(1)))
+            ).alias("i"),
+        )
+        .select(
+            "entity_id",
+            F.substring(F.col("p"), F.col("i"), F.lit(n)).alias("shingle"),
+        )
+        .withColumn("h", hash60(F.col("shingle")) % MOD)
     )
-
-
-def minhash_qn_signatures(entities: DataFrame, k: int = 8) -> DataFrame:
-    """(entity_id, sig array<long>[k]) over qualified-name shingles."""
-    sh = entities.select(
-        F.col("qualified_name").alias("entity_id"),
-        F.explode(qn_shingles(F.col("qualified_name"))).alias("shingle"),
-    ).withColumn("h", hash60(F.col("shingle")) % MOD)
     aggs = [
         F.min((F.col("h") * a + b) % MOD).alias(f"m{i}")
         for i, (a, b) in enumerate(_PERMS[:k])
@@ -81,11 +91,17 @@ def lsh_link_candidates(
     k: int = 8,
     bands: int = 4,
     min_agreement: float = 0.5,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Candidate co-reference pairs (a, b) with a < b.
 
     ``alias_pairs`` (optional): known-alias frame (a, b) — broadcast and
     unioned in at full confidence (the broadcast alias dictionary rung).
+
+    ``max_bucket`` (default ON): drop band buckets shared by more than this
+    many entities before the self-join — one hub bucket of B members is
+    B²/2 join rows, the classic uncapped-LSH scale killer. Members of a
+    dropped bucket can still pair through their other bands.
     """
     r = k // bands
     sigs = minhash_qn_signatures(entities, k)
@@ -105,6 +121,15 @@ def lsh_link_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        bucket_n = F.count("*").over(
+            Window.partitionBy("band", "band_hash")
+        )
+        banded = (
+            banded.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = banded.select(
         F.col("entity_id").alias("a"), F.col("sig").alias("sig_a"), "band", "band_hash"
     )
@@ -116,9 +141,12 @@ def lsh_link_candidates(
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    ).cast("double") / F.lit(float(k))
+    # codegen agreement: k is a Python constant, so unroll the comparison
+    # instead of interpreted zip_with/filter HOFs
+    matches = sum(
+        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(k)
+    )
+    agree = matches.cast("double") / F.lit(float(k))
     # verification gate: near-duplicate ENTITIES share their simple name
     # (last QN segment); without it, a child QN and its parent scope — whose
     # shingle set is nearly a subset — sneak past the MinHash agreement
@@ -194,8 +222,13 @@ def connected_components(
     for _round in range(max_iter):
         edges = _star_round(_star_round(edges, large=True), large=False)
         edges = edges.localCheckpoint(eager=True)
+        # Order-independent, overflow-free edge-set signature: count plus a
+        # bit_xor of per-edge hashes. A SUM of uniformly random 64-bit
+        # xxhash64 values overflows a long (fatal under ANSI mode — seen in
+        # round 2); XOR is closed over int64.
         sig_row = edges.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("x", "y")).alias("h")
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(x, y))").alias("h"),
         ).first()
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
