@@ -80,13 +80,15 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _synth_graph(spark)
-    # array_join: the harness canonicalizer sorts rows in pandas and cannot
-    # hash array cells — serialize the neighbor list to a string
-    return g.adjacency().select(
+    # max_neighbors bounds hub rows (a million-caller entity must never be
+    # one giant row); n_neighbors keeps the true degree. array_join: the
+    # harness canonicalizer cannot hash array cells.
+    return g.adjacency(max_neighbors=8).select(
         "node",
         "pred",
         "direction",
         F.array_join("neighbors", "|").alias("neighbors"),
+        "n_neighbors",
     )
 
 
@@ -570,6 +572,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+_KG_ORACLE_DIR = "/tmp/cgr_kg_oracle"
+
+
+def _write_kg_oracle_tables() -> str:
+    """Materialize the ANALYTIC expected graph (synth_model.py — a pure-
+    Python twin implementation derived from the documented semantics, no
+    Spark/engine code involved) as parquet, so DuckDB can verify the kg_*
+    queries with hard value-level oracles instead of rows-only checks."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from code_graph_rag_spark.synth_model import (
+        synth_expected_dead_code,
+        synth_expected_graph,
+    )
+
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+
+    def _tbl(rows: list[tuple], names: list[str]):
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        return pa.table({n: list(c) for n, c in zip(names, cols)})
+
+    nodes, edges = synth_expected_graph(30, funcs_per_doc=4, pkg_fanout=6)
+    pq.write_table(
+        _tbl([(l, i, n) for l, i, n, _p in nodes], ["label", "id", "name"]),
+        f"{_KG_ORACLE_DIR}/nodes.parquet",
+    )
+    pq.write_table(
+        _tbl(edges, ["subj", "pred", "obj", "subj_label", "obj_label"]),
+        f"{_KG_ORACLE_DIR}/edges.parquet",
+    )
+    dead = synth_expected_dead_code(8, funcs_per_doc=3, pkg_fanout=3)
+    pq.write_table(
+        _tbl(dead, ["label", "id", "name", "path"]),
+        f"{_KG_ORACLE_DIR}/dead8.parquet",
+    )
+    return _KG_ORACLE_DIR
+
+
+def _kg_oracles() -> dict[str, str]:
+    d = _write_kg_oracle_tables()
+    edges_pq = f"read_parquet('{d}/edges.parquet')"
+    nodes_pq = f"read_parquet('{d}/nodes.parquet')"
+    return {
+        "kg_triples": f"""
+            SELECT subj, pred, obj, subj_label, obj_label FROM {edges_pq}
+        """,
+        "kg_nodes": f"SELECT label, id, name FROM {nodes_pq}",
+        "kg_stats": f"""
+            SELECT label, count(*) AS n FROM {nodes_pq}
+            GROUP BY label ORDER BY n DESC, label
+        """,
+        "kg_callers_of": f"""
+            SELECT subj FROM {edges_pq}
+            WHERE pred = 'CALLS' AND obj = 'synth.pkg001.mod00001.fn_0'
+            ORDER BY subj
+        """,
+        "kg_find_prefix": f"""
+            SELECT label, id, name FROM {nodes_pq}
+            WHERE starts_with(id, 'synth.pkg001.mod00001')
+            ORDER BY id
+        """,
+        "kg_adjacency": f"""
+            WITH pairs AS (
+                SELECT subj AS node, pred, 'out' AS direction, obj AS nb
+                FROM {edges_pq}
+                UNION ALL
+                SELECT obj AS node, pred, 'in' AS direction, subj AS nb
+                FROM {edges_pq}
+            )
+            SELECT node, pred, direction,
+                   array_to_string(list_sort(array_agg(nb))[1:8], '|')
+                       AS neighbors,
+                   count(*) AS n_neighbors
+            FROM pairs GROUP BY node, pred, direction
+        """,
+        "kg_dead_code": f"""
+            SELECT label, id, name, path
+            FROM read_parquet('{d}/dead8.parquet') ORDER BY id
+        """,
+        # hand-derived from the io/flow semantics for the fixed 3-function
+        # input program (see kg_io_flow): open('data.json') reads the file,
+        # json.load reads a dynamic file handle, open('out.txt','w') writes,
+        # and `return load()` flows load's result into top's return value
+        "kg_io_flow": """
+            SELECT * FROM (VALUES
+                ('iodemo.app.load', 'FLOWS_TO', 'iodemo.app.top'),
+                ('iodemo.app.load', 'READS_FROM', 'resource::file::<dynamic>'),
+                ('iodemo.app.load', 'READS_FROM', 'resource::file::data.json'),
+                ('iodemo.app.save', 'WRITES_TO', 'resource::file::out.txt')
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
+        """,
+    }
+
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _NTOKS = (
@@ -592,8 +690,9 @@ def _minhash_expr(a: int, b: int) -> str:
     )
 
 
-def _lsh_candidates_sql() -> str:
-    """DuckDB twin of operators.dedup.lsh_candidate_pairs (k=16, bands=4)."""
+def _lsh_candidates_sql(max_bucket: int = 1024) -> str:
+    """DuckDB twin of operators.dedup.lsh_candidate_pairs (k=16, bands=4),
+    including the default-on bucket cap."""
     from code_graph_rag_spark.operators.dedup import _perm_params
 
     sig16 = "[" + ", ".join(_minhash_expr(a, b) for a, b in _perm_params(16)) + "]"
@@ -601,10 +700,15 @@ def _lsh_candidates_sql() -> str:
     return f"""
         WITH sigs AS (
             SELECT doc_id, {sig16} AS sig FROM documents
-        ), banded AS (
+        ), banded0 AS (
             SELECT doc_id, sig, b AS band,
                    {_HASH60.format(expr=band_concat)} AS band_hash
             FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+        ), small AS (
+            SELECT band, band_hash FROM banded0
+            GROUP BY band, band_hash HAVING count(*) <= {max_bucket}
+        ), banded AS (
+            SELECT b.* FROM banded0 b SEMI JOIN small USING (band, band_hash)
         ), pairs AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM banded l
@@ -698,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         for i, (a, b) in enumerate(_PERMS)
     )
     return {
+        **_kg_oracles(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -98,7 +98,7 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
@@ -109,8 +109,9 @@ def lsh_candidate_pairs(
     ``max_bucket`` caps the per-(band, band_hash) bucket size: a boilerplate
     band shared by B docs yields B²/2 pairs, so buckets larger than the cap
     are dropped before the self-join (their members still pair through their
-    other, more selective bands). Off by default to keep the DuckDB oracle
-    exact; at 100 TB run with a cap (e.g. 10_000).
+    other, more selective bands). ON by default — an uncapped bucket
+    self-join is the classic LSH scale-killer; the DuckDB oracle mirrors
+    the cap exactly (``__spark_entry__._lsh_candidates_sql``).
     """
     r = k // bands
     # persist: the signature pipeline feeds both sides of the band self-join
@@ -155,15 +156,12 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(float(k))
+    # codegen agreement: k is a Python constant — unrolled comparisons stay
+    # in whole-stage codegen, unlike interpreted zip_with/filter HOFs
+    matches = sum(
+        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(k)
     )
+    agree = matches.cast("double") / F.lit(float(k))
     return pairs.select(
         "doc_a", "doc_b", F.round(agree, 6).alias("sig_agree")
     )

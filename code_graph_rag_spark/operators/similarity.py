@@ -230,11 +230,27 @@ def embedding_near_duplicates(
     dim: int | None = None,
     threshold: float = 0.95,
     n_planes: int = 6,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets."""
+    """Near-duplicate vector pairs (cosine ≥ threshold) within LSH buckets.
+
+    ``max_bucket`` (ON by default): buckets larger than the cap are dropped
+    before the intra-bucket self-join — one dense bucket of B vectors is
+    B²/2 pairs, and duplicate-heavy corpora (exactly where this operator
+    runs) produce dense buckets. A dropped bucket means the plane count is
+    too low for the corpus: grow ``n_planes`` (halves expected bucket size
+    per plane) rather than raising the cap."""
     if dim is None:
         dim = _embedding_dim(corpus)
     cb = with_lsh_bucket(corpus, "embedding", dim, n_planes)
+    if max_bucket is not None:
+        small = (
+            cb.groupBy("bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("bucket")
+        )
+        cb = cb.join(small, "bucket", "left_semi")
     a = cb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),

@@ -78,8 +78,8 @@ class GraphResult:
     # second build in one session)
     persisted: list = None
 
-    def adjacency(self) -> DataFrame:
-        return adjacency(self.edges)
+    def adjacency(self, max_neighbors: int | None = None) -> DataFrame:
+        return adjacency(self.edges, max_neighbors=max_neighbors)
 
     def unpersist(self) -> None:
         for df in (

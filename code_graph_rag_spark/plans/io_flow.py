@@ -19,22 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (normalized callee, resource kind, declared direction, has_target_arg)
-# — the Python rows of the reference's io_access/registry.py sink table
-IO_SINKS: list[tuple[str, str, str, bool]] = [
-    ("open", "file", "read", True),
-    ("os.getenv", "env", "read", True),
-    ("os.environ.get", "env", "read", True),
-    ("print", "stdout", "write", False),
-    ("json.load", "file", "read", False),
-    ("json.dump", "file", "write", False),
-    ("requests.get", "network", "read", True),
-    ("requests.head", "network", "read", True),
-    ("requests.post", "network", "write", True),
-    ("requests.put", "network", "write", True),
-    ("requests.patch", "network", "write", True),
-    ("requests.delete", "network", "write", True),
-    ("urllib.request.urlopen", "network", "read", True),
+# (normalized callee, resource kind, declared direction, has_target_arg,
+# has_mode_arg) — the Python rows of the reference's io_access/registry.py
+# sink table. Only ``open`` takes a mode string; other sinks keep their
+# declared direction regardless of literal args.
+IO_SINKS: list[tuple[str, str, str, bool, bool]] = [
+    ("open", "file", "read", True, True),
+    ("os.getenv", "env", "read", True, False),
+    ("os.environ.get", "env", "read", True, False),
+    ("print", "stdout", "write", False, False),
+    ("json.load", "file", "read", False, False),
+    ("json.dump", "file", "write", False, False),
+    ("requests.get", "network", "read", True, False),
+    ("requests.head", "network", "read", True, False),
+    ("requests.post", "network", "write", True, False),
+    ("requests.put", "network", "write", True, False),
+    ("requests.patch", "network", "write", True, False),
+    ("requests.delete", "network", "write", True, False),
+    ("urllib.request.urlopen", "network", "read", True, False),
 ]
 
 DYNAMIC_TARGET = "<dynamic>"
@@ -52,7 +54,9 @@ def io_edges(mentions: DataFrame, alias: DataFrame) -> DataFrame:
     spark = mentions.sparkSession
     sinks = F.broadcast(
         spark.createDataFrame(
-            IO_SINKS, "sink string, res_kind string, direction string, has_target boolean"
+            IO_SINKS,
+            "sink string, res_kind string, direction string, "
+            "has_target boolean, has_mode boolean",
         )
     )
     calls = mentions.filter(F.col("kind") == "call").select(
@@ -101,7 +105,11 @@ def io_edges(mentions: DataFrame, alias: DataFrame) -> DataFrame:
         sinks, F.col("norm") == sinks["sink"]
     )
 
-    mode = F.coalesce(F.col("arg1_lit"), F.lit(""))
+    # the mode-string refinement applies ONLY to sinks that take a mode
+    # argument (open); e.g. print(x, "a+b") must stay a plain stdout write
+    mode = F.when(F.col("has_mode"), F.coalesce(F.col("arg1_lit"), F.lit(""))).otherwise(
+        F.lit("")
+    )
     is_write = (
         (F.col("direction") == "write")
         | mode.rlike("[wax]")

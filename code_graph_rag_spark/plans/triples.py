@@ -72,15 +72,40 @@ def drop_phantoms(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def adjacency(edges: DataFrame) -> DataFrame:
+def adjacency(edges: DataFrame, max_neighbors: int | None = None) -> DataFrame:
     """Materialized adjacency lists per (node, direction, rel type) — the
     Spark analogue of the reference's protobuf ID adjacency lists
     (``codec/schema.proto:36-60``) and the JSON loader's in/out indexes
-    (``graph_loader.py:48-146``)."""
-    out = edges.groupBy(F.col("subj").alias("node"), "pred").agg(
-        F.sort_array(F.collect_list("obj")).alias("neighbors")
-    ).withColumn("direction", F.lit("out"))
-    inn = edges.groupBy(F.col("obj").alias("node"), "pred").agg(
-        F.sort_array(F.collect_list("subj")).alias("neighbors")
-    ).withColumn("direction", F.lit("in"))
-    return out.unionByName(inn)
+    (``graph_loader.py:48-146``).
+
+    ``max_neighbors``: bound each list to the first N neighbors (sorted) and
+    add ``n_neighbors`` with the TRUE degree. At corpus scale a hub entity
+    (millions of callers) must never become one unbounded row — the cap is
+    applied with a per-group row_number BEFORE collect_list, so the shuffle
+    never carries an uncapped list."""
+    from pyspark.sql import Window
+
+    pairs = edges.select(
+        F.col("subj").alias("node"), "pred", F.lit("out").alias("direction"),
+        F.col("obj").alias("nb"),
+    ).unionByName(
+        edges.select(
+            F.col("obj").alias("node"), "pred", F.lit("in").alias("direction"),
+            F.col("subj").alias("nb"),
+        )
+    )
+    if max_neighbors is None:
+        return (
+            pairs.groupBy("node", "pred", "direction")
+            .agg(F.sort_array(F.collect_list("nb")).alias("neighbors"))
+        )
+    grp = Window.partitionBy("node", "pred", "direction")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(grp.orderBy("nb"))
+    ).withColumn("n_neighbors", F.count("*").over(grp))
+    return (
+        ranked.filter(F.col("rn") <= max_neighbors)
+        .groupBy("node", "pred", "direction", "n_neighbors")
+        .agg(F.sort_array(F.collect_list("nb")).alias("neighbors"))
+        .select("node", "pred", "direction", "neighbors", "n_neighbors")
+    )

@@ -1,0 +1,194 @@
+"""Analytic expected-graph model for the deterministic synth corpus.
+
+``fixtures.synth_corpus_rows(n_docs, funcs_per_doc, pkg_fanout)`` is a pure
+function of its parameters, so the graph the engine must produce is
+derivable *analytically* — no Spark, no pylite, no engine code — from the
+documented semantics alone:
+
+* structure layer: root segment = Project, ``__init__.py`` dir = Package,
+  dir CONTAINS_FILE / CONTAINS_MODULE (reference
+  ``structure_processor.py:61-165``, ``graph_updater.py:604-632``);
+* DEFINES / DEFINES_METHOD from the lexical nesting
+  (``definition_processor.py``);
+* IMPORTS: from-import and plain import of sibling modules resolve to
+  internal Modules, ``import numpy`` to an ExternalModule
+  (``import_processor.py`` verification ladder);
+* the resolution ladder binds ``fn_0()`` to the **imported** sibling
+  ``fn_0`` (import-map rung outranks same-module, SURVEY §2.4 rung order),
+  ``fn_{f+1}()`` to the same-module definition, and ``self.step()`` inside
+  ``C.run`` to the own class's method (class-context rung);
+* ``numpy.zeros`` is externally suppressed (no CALLS edge);
+* ``c = C()`` emits INSTANTIATES (``call_processor.py`` ctor rule);
+* ``C(B)`` emits INHERITS; ``C.run``/``C.step`` OVERRIDE the nearest
+  ancestor method (``method_override.py``);
+* a top-level media span attaches to the module (tightest-containing-span
+  fallback, plans/spans.py).
+
+This is the **independent twin implementation** used as the hard DuckDB
+oracle for the ``kg_*`` driver queries: ``tests/test_synth_model.py``
+asserts engine ≡ model exactly on multiple corpus sizes.
+
+Constraint: ``n_docs`` must not divide 6 and must exceed 7 (so the two
+sibling imports are distinct and never self-referential), and
+``n_docs % 5 != 4`` is NOT required — tail docs are modeled.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+def _mod_qn(i: int, pkg_fanout: int) -> str:
+    return f"synth.pkg{i % pkg_fanout:03d}.mod{i:05d}"
+
+
+def synth_expected_graph(
+    n_docs: int, funcs_per_doc: int = 8, pkg_fanout: int = 50
+) -> tuple[list[tuple], list[tuple]]:
+    """Expected (nodes, edges) for ``synth_corpus_rows`` with the same
+    params.
+
+    nodes: (label, id, name, path)  — path only for entity labels (the
+    defining doc), None for structure/external/media rows except File.
+    edges: (subj, pred, obj, subj_label, obj_label).
+    """
+    # n_docs > 7 ⇒ (i+1)%N, (i+7)%N, i are pairwise distinct for every i
+    assert n_docs > 7, "sibling imports must be distinct non-self modules"
+    npkg = min(pkg_fanout, n_docs)
+    nodes: list[tuple] = []
+    edges: list[tuple] = []
+
+    # ---- structure layer ----
+    nodes.append(("Project", "synth", "synth", None))
+    nodes.append(("File", "synth/__init__.py", "__init__.py", "synth/__init__.py"))
+    nodes.append(("Module", "synth", "synth", "synth/__init__.py"))
+    edges.append(("synth", "CONTAINS_FILE", "synth/__init__.py", "Project", "File"))
+    edges.append(("synth", "CONTAINS_MODULE", "synth", "Project", "Module"))
+    for p in range(npkg):
+        pkg = f"synth.pkg{p:03d}"
+        pdir = f"synth/pkg{p:03d}"
+        nodes.append(("Package", pkg, f"pkg{p:03d}", None))
+        nodes.append(
+            ("File", f"{pdir}/__init__.py", "__init__.py", f"{pdir}/__init__.py")
+        )
+        nodes.append(("Module", pkg, f"pkg{p:03d}", f"{pdir}/__init__.py"))
+        edges.append(("synth", "CONTAINS_PACKAGE", pkg, "Project", "Package"))
+        edges.append((pkg, "CONTAINS_FILE", f"{pdir}/__init__.py", "Package", "File"))
+        edges.append((pkg, "CONTAINS_MODULE", pkg, "Package", "Module"))
+
+    nodes.append(("ExternalModule", "numpy", "numpy", None))
+
+    # ---- per-module entities + edges ----
+    for i in range(n_docs):
+        p = i % pkg_fanout
+        pkg = f"synth.pkg{p:03d}"
+        doc = f"synth/pkg{p:03d}/mod{i:05d}.py"
+        m = _mod_qn(i, pkg_fanout)
+        s1 = _mod_qn((i + 1) % n_docs, pkg_fanout)
+        s2 = _mod_qn((i + 7) % n_docs, pkg_fanout)
+        b = f"{m}.B{i % 7}"
+        c = f"{m}.C{i % 97}"
+
+        nodes.append(("File", doc, f"mod{i:05d}.py", doc))
+        nodes.append(("Module", m, f"mod{i:05d}", doc))
+        nodes.append(("Class", b, f"B{i % 7}", doc))
+        nodes.append(("Class", c, f"C{i % 97}", doc))
+        edges.append((pkg, "CONTAINS_FILE", doc, "Package", "File"))
+        edges.append((pkg, "CONTAINS_MODULE", m, "Package", "Module"))
+        edges.append((m, "DEFINES", b, "Module", "Class"))
+        edges.append((m, "DEFINES", c, "Module", "Class"))
+        for cls in (b, c):
+            for meth in ("run", "step"):
+                nodes.append(("Method", f"{cls}.{meth}", meth, doc))
+                edges.append(
+                    (cls, "DEFINES_METHOD", f"{cls}.{meth}", "Class", "Method")
+                )
+        edges.append((c, "INHERITS", b, "Class", "Class"))
+        for meth in ("run", "step"):
+            edges.append(
+                (f"{c}.{meth}", "OVERRIDES", f"{b}.{meth}", "Method", "Method")
+            )
+        # self.step() inside C.run → own-class method (class-context rung)
+        edges.append((f"{c}.run", "CALLS", f"{c}.step", "Method", "Method"))
+
+        # imports (set semantics: engine dedups repeated targets)
+        for tgt in sorted({s1, s2}):
+            edges.append((m, "IMPORTS", tgt, "Module", "Module"))
+        edges.append((m, "IMPORTS", "numpy", "Module", "ExternalModule"))
+
+        # functions
+        call_edges: set[tuple] = set()
+        for f_i in range(funcs_per_doc):
+            fn = f"{m}.fn_{f_i}"
+            nodes.append(("Function", fn, f"fn_{f_i}", doc))
+            edges.append((m, "DEFINES", fn, "Module", "Function"))
+            callee_name = f"fn_{(f_i + 1) % funcs_per_doc}"
+            # import-map rung binds fn_0 to the from-imported sibling;
+            # other fn_* names bind same-module
+            callee_qn = f"{s1}.fn_0" if callee_name == "fn_0" else f"{m}.{callee_name}"
+            call_edges.add((fn, "CALLS", callee_qn, "Function", "Function"))
+            call_edges.add((fn, "CALLS", f"{s1}.fn_0", "Function", "Function"))
+            edges.append((fn, "INSTANTIATES", c, "Function", "Class"))
+        edges.extend(sorted(call_edges))
+
+        if i % 5 == 0:
+            tail = f"{m}.tail_{i}"
+            asset = f"assets/diagram_{i}.png"
+            nodes.append(("Function", tail, f"tail_{i}", doc))
+            nodes.append(("MediaAsset", asset, f"diagram_{i}.png", doc))
+            edges.append((m, "DEFINES", tail, "Module", "Function"))
+            edges.append((tail, "CALLS", f"{s1}.fn_0", "Function", "Function"))
+            edges.append((m, "HAS_MEDIA", asset, "Module", "MediaAsset"))
+
+    # engine output is (subj,pred,obj)-deduped; the model emits each edge
+    # once by construction, but dedup defensively for odd parameterizations
+    seen: set[tuple] = set()
+    out_edges = []
+    for e in edges:
+        if e[:3] not in seen:
+            seen.add(e[:3])
+            out_edges.append(e)
+    return nodes, out_edges
+
+
+# ---------------------------------------------------------------------------
+# Derived expectations for the read-path queries
+# ---------------------------------------------------------------------------
+
+REACH_PREDS = ("CALLS", "REFERENCES", "INSTANTIATES", "INHERITS")
+
+
+def synth_expected_dead_code(
+    n_docs: int, funcs_per_doc: int = 8, pkg_fanout: int = 50
+) -> list[tuple]:
+    """Pure-Python twin of ``queries.dead_code``: multi-source BFS from the
+    root set over REACH_PREDS with OVERRIDES revival, then unreachable
+    Function/Method rows (label, id, name, path) sorted by id."""
+    nodes, edges = synth_expected_graph(n_docs, funcs_per_doc, pkg_fanout)
+    # roots: Module nodes; dunder / decorated / test-path / main / exported
+    # don't occur in the synth corpus, but apply the dunder rule anyway
+    roots = {
+        nid
+        for (label, nid, name, _path) in nodes
+        if label == "Module" or (name.startswith("__") and name.endswith("__"))
+    }
+    adj: dict[str, set[str]] = {}
+    for subj, pred, obj, _sl, _ol in edges:
+        if pred in REACH_PREDS:
+            adj.setdefault(subj, set()).add(obj)
+        elif pred == "OVERRIDES":
+            adj.setdefault(subj, set()).add(obj)
+            adj.setdefault(obj, set()).add(subj)
+    visited = set(roots)
+    q = deque(roots)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in visited:
+                visited.add(v)
+                q.append(v)
+    return sorted(
+        (label, nid, name, path)
+        for (label, nid, name, path) in nodes
+        if label in ("Function", "Method") and nid not in visited
+    )

@@ -216,12 +216,43 @@ def test_hub_shingle_cap_bounds_pairs(spark):
 
 
 def test_lsh_band_bucket_cap(spark):
-    """A boilerplate band bucket larger than max_bucket is dropped."""
+    """A boilerplate band bucket larger than max_bucket is dropped — and the
+    cap is ON by default (the uncapped join needs an explicit opt-out)."""
     from code_graph_rag_spark.operators.dedup import lsh_candidate_pairs
 
     rows = [(i, "identical boilerplate text in every doc") for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    unbounded = lsh_candidate_pairs(docs).count()
+    unbounded = lsh_candidate_pairs(docs, max_bucket=None).count()
+    default_cap = lsh_candidate_pairs(docs).count()  # 30 ≤ 1024 → kept
     bounded = lsh_candidate_pairs(docs, max_bucket=5).count()
     assert unbounded == 30 * 29 / 2
+    assert default_cap == unbounded
     assert bounded == 0
+
+
+def test_linking_band_bucket_cap(spark):
+    """Entity-linking band self-join honors its (default-on) bucket cap."""
+    from code_graph_rag_spark.linking import lsh_link_candidates
+
+    # hub: many QNs sharing the same simple name and near-identical shape
+    rows = [(f"pkg.mod{i:03d}.Handler",) for i in range(40)]
+    ents = spark.createDataFrame(rows, "qualified_name string")
+    uncapped = lsh_link_candidates(ents, max_bucket=None, min_agreement=0.0).count()
+    capped = lsh_link_candidates(ents, max_bucket=3, min_agreement=0.0).count()
+    assert uncapped > 0
+    assert capped < uncapped
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """Dense-bucket cap bounds the intra-bucket all-pairs join."""
+    from code_graph_rag_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    # 30 identical vectors → one dense bucket
+    rows = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_duplicates(corpus, max_bucket=None).count()
+    capped = embedding_near_duplicates(corpus, max_bucket=5).count()
+    assert uncapped == 30 * 29 / 2
+    assert capped == 0
