@@ -205,8 +205,10 @@ def kg_io_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity linking (MinHash-LSH over QN shingles) + salted-CC
-    canonicalization over the synth graph's entities (north-rule stage)."""
+    """Entity linking (MinHash-LSH over QN shingles) + large/small-star CC
+    canonicalization over the synth graph's entities (north-rule stage).
+    Hard-oracled: synth_model.expected_canonicalization is the pure-Python
+    twin (same shingles, hash60 minhash/banding, cap, agreement gate, CC)."""
     from code_graph_rag_spark.linking import canonicalize_entities
 
     g = _synth_graph(spark)
@@ -214,6 +216,126 @@ def kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").isin("Function", "Method", "Class", "Module")
     ).select(F.col("id").alias("qualified_name"))
     return canonicalize_entities(ents, min_agreement=0.95).orderBy("entity_id")
+
+
+def kg_exposes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route decorators → EXPOSES edges (parsers/endpoints.py:60-91), with
+    methods-kwarg fan-out and include_router mount-prefix resolution.
+    Fixture program mirrors tests/test_endpoints_flow.py."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    src = (
+        "from fastapi import FastAPI, APIRouter\n\n"
+        "app = FastAPI()\n"
+        "router = APIRouter()\n\n"
+        "@app.get('/users/{id}')\n"
+        "def get_user(id):\n"
+        "    return id\n\n"
+        "@router.route('/items', methods=['POST', 'PUT'])\n"
+        "def change_item():\n"
+        "    pass\n\n"
+        "app.include_router(router, prefix='/api')\n"
+    )
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "svc/api.py",
+                "spans": [
+                    {"kind": "code", "text": src, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return (
+        g.edges.filter(F.col("pred") == "EXPOSES")
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
+def kg_arg_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOWS_TO kind=arg/resource family (flow_access processor,
+    graph-schema.md:77-83): tainted-local argument hand-off, kw conduits,
+    read-resource → write-resource flow, one-level return taint.
+    Fixture program mirrors tests/test_endpoints_flow.py."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    src = (
+        "import os, json\n\n"
+        "def consume(v):\n"
+        "    return v\n\n"
+        "def fetch_key():\n"
+        "    return os.getenv('API_KEY')\n\n"
+        "def pipeline():\n"
+        "    key = os.getenv('TOKEN')\n"
+        "    consume(key)\n"
+        "    use_kw(data=key)\n"
+        "    print(key)\n\n"
+        "def use_kw(data):\n"
+        "    return data\n\n"
+        "def chained():\n"
+        "    k = fetch_key()\n"
+        "    consume(k)\n"
+    )
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "taint/app.py",
+                "spans": [
+                    {"kind": "code", "text": src, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return (
+        g.edges.filter(
+            (F.col("pred") == "FLOWS_TO")
+            & F.col("props")["kind"].isin("arg", "resource")
+        )
+        .select(
+            "subj",
+            "obj",
+            F.col("props")["via"].alias("via"),
+            F.col("props")["kind"].alias("kind"),
+        )
+        .orderBy("subj", "obj", "via")
+    )
+
+
+def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
+    language-agnostic join phase (parsers/js_ts/ analogue). Corpus and
+    hand-derived expected set live in tests/test_pipeline_js.py; the driver
+    oracle replays that exact set."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+    from tests.test_pipeline_js import JS_DOCS
+
+    docs = spark.createDataFrame(JS_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs)
+    return (
+        g.edges.filter(F.col("pred").isin(*sorted(_JS_ORACLE_PREDS)))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+_JS_ORACLE_PREDS = {
+    "DEFINES",
+    "DEFINES_METHOD",
+    "IMPORTS",
+    "EXPORTS",
+    "CALLS",
+    "INSTANTIATES",
+    "INHERITS",
+    "OVERRIDES",
+}
 
 
 # ---------------------------------------------------------------------------
@@ -544,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolution_stats": kg_resolution_stats,
         "kg_find_prefix": kg_find_prefix,
         "kg_io_flow": kg_io_flow,
+        "kg_exposes": kg_exposes,
+        "kg_arg_flow": kg_arg_flow,
+        "kg_js_build": kg_js_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -610,7 +735,35 @@ def _write_kg_oracle_tables() -> str:
         _tbl(dead, ["label", "id", "name", "path"]),
         f"{_KG_ORACLE_DIR}/dead8.parquet",
     )
+    from code_graph_rag_spark.synth_model import expected_canonicalization
+
+    ents = sorted(
+        nid
+        for (label, nid, _n, _p) in nodes
+        if label in ("Function", "Method", "Class", "Module")
+    )
+    canon = expected_canonicalization(ents, min_agreement=0.95)
+    pq.write_table(
+        _tbl(canon, ["entity_id", "canonical_id"]),
+        f"{_KG_ORACLE_DIR}/canon.parquet",
+    )
     return _KG_ORACLE_DIR
+
+
+def _js_build_sql() -> str:
+    """VALUES oracle from the hand-derived JS fixture expectation set
+    (tests/test_pipeline_js.py EXPECTED — every pred in the whitelist)."""
+    from tests.test_pipeline_js import EXPECTED
+
+    rows = sorted(t for t in EXPECTED if t[1] in _JS_ORACLE_PREDS)
+    values = ",\n                ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in rows
+    )
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
+        """
 
 
 def _kg_oracles() -> dict[str, str]:
@@ -654,6 +807,31 @@ def _kg_oracles() -> dict[str, str]:
             SELECT label, id, name, path
             FROM read_parquet('{d}/dead8.parquet') ORDER BY id
         """,
+        "kg_canonicalize": f"""
+            SELECT entity_id, canonical_id
+            FROM read_parquet('{d}/canon.parquet') ORDER BY entity_id
+        """,
+        # hand-derived endpoint exposure rows for the fixed program (route
+        # verb decorator; route() methods kwarg fan-out; mounted prefix)
+        "kg_exposes": """
+            SELECT * FROM (VALUES
+                ('svc.api.get_user', 'EXPOSES', 'endpoint::svc::GET /users/{id}'),
+                ('svc.api.change_item', 'EXPOSES', 'endpoint::svc::POST /api/items'),
+                ('svc.api.change_item', 'EXPOSES', 'endpoint::svc::PUT /api/items')
+            ) t(subj, pred, obj) ORDER BY subj, obj
+        """,
+        # hand-derived flow rows: key=os.getenv('TOKEN') taints consume's
+        # arg:0 and use_kw's kw:data; print(key) carries env::TOKEN into the
+        # stdout resource; k=fetch_key() inherits the one-level return taint
+        "kg_arg_flow": """
+            SELECT * FROM (VALUES
+                ('resource::env::TOKEN', 'resource::stdout::stdout', 'arg:0', 'resource'),
+                ('taint.app.chained', 'taint.app.consume', 'arg:0', 'arg'),
+                ('taint.app.pipeline', 'taint.app.consume', 'arg:0', 'arg'),
+                ('taint.app.pipeline', 'taint.app.use_kw', 'kw:data', 'arg')
+            ) t(subj, obj, via, kind) ORDER BY subj, obj, via
+        """,
+        "kg_js_build": _js_build_sql(),
         # hand-derived from the io/flow semantics for the fixed 3-function
         # input program (see kg_io_flow): open('data.json') reads the file,
         # json.load reads a dynamic file handle, open('out.txt','w') writes,

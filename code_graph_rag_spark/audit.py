@@ -54,6 +54,8 @@ KNOWN_PREDS = {
     "READS_FROM",
     "WRITES_TO",
     "FLOWS_TO",
+    "EXPOSES",
+    "RESOLVES_TO",
     "HAS_MEDIA",
 }
 

@@ -20,10 +20,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from code_graph_rag_spark.extract.pylite import parse_document
+from code_graph_rag_spark.extract.pylite import parse_document as _parse_py
 from code_graph_rag_spark.schema import MENTIONS_SCHEMA
 
 _COLS = [f.name for f in MENTIONS_SCHEMA.fields]
+
+
+def parse_document(doc_id: str, text: str) -> list[dict]:
+    """Language dispatch: extension → per-language kernel (the Spark analogue
+    of the reference's ``language_spec.py`` registry). Both kernels emit the
+    SAME mention IR, so everything downstream is language-agnostic."""
+    from code_graph_rag_spark.extract.jslite import JS_EXTENSIONS
+    from code_graph_rag_spark.extract.jslite import parse_document as _parse_js
+    from code_graph_rag_spark.extract.pylite import doc_extension
+
+    if doc_extension(doc_id) in JS_EXTENSIONS:
+        return _parse_js(doc_id, text)
+    return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}
 
@@ -74,7 +87,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             module_qn, _ = module_qn_for(doc_id)
             text = _code_text(list(spans))
-            doc_rows = parse_document(doc_id, text)
+            doc_rows = parse_document(doc_id, text)  # language-dispatched
             if doc_rows and doc_rows[0].get("kind") == "module":
                 doc_rows.extend(_media_rows(list(spans), module_qn))
             for m in doc_rows:

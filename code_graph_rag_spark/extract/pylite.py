@@ -84,6 +84,16 @@ MANIFEST_FILES = {
 _IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
 _FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
 _DECOR_RE = re.compile(r"^(\s*)@\s*([\w.]+)")
+# mount registrations: app.include_router(router, prefix="/api") /
+# app.register_blueprint(bp, url_prefix="/x") (endpoint_prefixes.py)
+_MOUNT_NAMES = frozenset({"include_router", "register_blueprint", "mount"})
+_MOUNT_PREFIX_RE = re.compile(r"(?:prefix|url_prefix)\s*=\s*('|\")")
+_VAR_ARG_RE = re.compile(rf"^\s*({_ID})\s*$")
+_CALL_ARG_RE = re.compile(rf"^\s*(?:await\s+)?({_DOTTED})\s*\(")
+_KW_ARG_RE = re.compile(rf"^\s*({_ID})\s*=(?![=<>!])\s*(.*)$")
+_WITH_AS_RE = re.compile(
+    rf"^with\s+({_DOTTED})\s*\(.*\)\s*as\s+({_ID})\s*:", re.DOTALL
+)
 _CALL_RE = re.compile(rf"(?<![\w.])({_DOTTED})\s*\(")
 # Expr(...).method( — chained call on a ctor/function result; [^()]* keeps the
 # arg match conservative (nested-paren args fall back to the plain call rows)
@@ -304,6 +314,21 @@ def _literal_after(
     return lit[qstart + 1 : qend], qend + 1
 
 
+def _matching_paren(line: str, open_pos: int) -> int:
+    """Index of the ')' closing the '(' at ``open_pos``; -1 if not on this
+    logical line (multi-line call args — conservative skip)."""
+    d, i, n = 0, open_pos, len(line)
+    while i < n:
+        if line[i] == "(":
+            d += 1
+        elif line[i] == ")":
+            d -= 1
+            if d == 0:
+                return i
+        i += 1
+    return -1
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas not nested inside brackets (strings already blanked)."""
     parts, buf, d = [], [], 0
@@ -468,7 +493,11 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
 
         m = _DECOR_RE.match(line)
         if m:
-            pending_decorators.append(m.group(2))
+            # store the decorator verbatim INCLUDING its literal argument
+            # list (from the literal-preserving line) — the reference keeps
+            # route decorators verbatim so the endpoints pass can parse
+            # @app.get("/users/{id}") (parsers/endpoints.py:60-91)
+            pending_decorators.append(lit_line[m.start(2) :].rstrip())
             continue
 
         m = _DEF_RE.match(line)
@@ -637,12 +666,56 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         caller = next(s for s in reversed(stack) if s.kind != "class")
         cls_scope = next((s.qn for s in reversed(stack) if s.kind == "class"), None)
 
+        indent_off = len(line) - len(line.lstrip())
+
         # --- type-inference fact collection ---
         am = _ASSIGN_RE.match(stripped)
         if am and am.group(1) not in KEYWORDS:
-            cm = _CTOR_RE.match(am.group(2).strip())
+            rhs_raw = am.group(2)
+            rhs_lead = len(rhs_raw) - len(rhs_raw.lstrip())
+            cm = _CTOR_RE.match(rhs_raw.strip())
             scope_assigns.setdefault(caller.qn, []).append(
                 (line_no, am.group(1), cm.group(1) if cm else None)
+            )
+            if cm and cm.group(1).split(".")[0] not in KEYWORDS:
+                # assignment-from-call fact → `assign` mention (taint source
+                # for the flow pass, flow_access assignment-taint rule)
+                rhs_pos = indent_off + am.start(2) + rhs_lead
+                a0, _after = _literal_after(line, lit_line, rhs_pos + cm.end())
+                mentions.append(
+                    {
+                        "kind": "assign",
+                        "name": am.group(1),
+                        "parent_qn": caller.qn,
+                        "parent_kind": caller.kind.capitalize(),
+                        "start_line": line_no,
+                        "start_col": indent_off,
+                        "callee": cm.group(1),
+                        "arg0_lit": a0,
+                    }
+                )
+        wm = _WITH_AS_RE.match(stripped)
+        if wm and wm.group(1).split(".")[0] not in KEYWORDS:
+            # `with open(...) as fh:` binds fh to the call result — the
+            # canonical Python file-handle taint source
+            paren = stripped.index("(", wm.end(1))
+            a0, _after = _literal_after(
+                line, lit_line, indent_off + paren + 1
+            )
+            mentions.append(
+                {
+                    "kind": "assign",
+                    "name": wm.group(2),
+                    "parent_qn": caller.qn,
+                    "parent_kind": caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": indent_off,
+                    "callee": wm.group(1),
+                    "arg0_lit": a0,
+                }
+            )
+            scope_assigns.setdefault(caller.qn, []).append(
+                (line_no, wm.group(2), None)
             )
         sm2 = _SELF_ASSIGN_RE.match(stripped)
         if sm2 and cls_scope:
@@ -726,6 +799,65 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     ),
                 }
             )
+            # ---- per-argument flow facts (identifier / kw / direct-call
+            # args only — literals cannot carry taint) ----
+            close = _matching_paren(line, cm.end() - 1)
+            if close != -1:
+                for ai, part in enumerate(
+                    _split_top_level(line[cm.end() : close])
+                ):
+                    via = f"arg:{ai}"
+                    kwm = _KW_ARG_RE.match(part)
+                    if kwm:
+                        via = f"kw:{kwm.group(1)}"
+                        part = kwm.group(2)
+                    vm = _VAR_ARG_RE.match(part)
+                    am2 = _CALL_ARG_RE.match(part)
+                    if vm and vm.group(1) not in KEYWORDS:
+                        src_kind, src = "var", vm.group(1)
+                    elif am2 and am2.group(1).split(".")[0] not in KEYWORDS:
+                        src_kind, src = "call", am2.group(1)
+                    else:
+                        continue
+                    call_rows.append(
+                        {
+                            "kind": "argflow",
+                            "parent_qn": caller.qn,
+                            "parent_kind": caller.kind.capitalize(),
+                            "start_line": line_no,
+                            "start_col": cm.start(1),
+                            "callee": callee,
+                            "target": via,
+                            "name": src,
+                            "local_name": src_kind,
+                            "arg0_lit": arg0,
+                            "_caller_stack": [],
+                            "_class_qn": None,
+                        }
+                    )
+            # ---- mount registrations (endpoint prefixes) ----
+            if callee.split(".")[-1] in _MOUNT_NAMES and close != -1:
+                args0 = _split_top_level(line[cm.end() : close])
+                rvm = _VAR_ARG_RE.match(args0[0]) if args0 else None
+                pm = _MOUNT_PREFIX_RE.search(line, cm.end())
+                prefix = None
+                if pm and pm.start() < close:
+                    prefix, _ = _literal_after(line, lit_line, pm.end() - 1)
+                if rvm and prefix:
+                    call_rows.append(
+                        {
+                            "kind": "mount",
+                            "name": rvm.group(1),
+                            "parent_qn": module_qn,
+                            "parent_kind": "Module",
+                            "start_line": line_no,
+                            "start_col": cm.start(1),
+                            "callee": callee,
+                            "arg0_lit": prefix,
+                            "_caller_stack": [],
+                            "_class_qn": None,
+                        }
+                    )
         # chained call on a call result: Expr(...).m() — receiver type is
         # "class Expr" or "return type of Expr" (call_resolver.py:833-850);
         # the downstream type rung arbitrates, and a dotted callee can never

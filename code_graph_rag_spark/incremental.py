@@ -168,7 +168,33 @@ def blast_radius(
             break
         seen = seen.unionByName(new_names).localCheckpoint(eager=True)
         frontier = new_names
-    return affected.localCheckpoint(eager=True)
+
+    # 5. variant-window closure: a doc pulled into scope re-mints its
+    # entities, so every OTHER doc defining one of its qns must re-mint in
+    # the same window (else the scoped variant assignment can differ from a
+    # full rebuild's). Sharing a qn is symmetric, but newly pulled docs
+    # bring their other qns — expand to a bounded fixpoint.
+    affected = affected.localCheckpoint(eager=True)
+    defs = spliced.filter(F.col("kind").isin(*_DEF_KINDS))
+    for _ in range(3):
+        aff_qns = (
+            defs.join(affected, "doc_id", "left_semi")
+            .select(F.col("qn").alias("aq"))
+            .distinct()
+        )
+        sharers = (
+            defs.join(F.broadcast(aff_qns), F.col("qn") == F.col("aq"), "left_semi")
+            .select("doc_id")
+            .distinct()
+            .join(affected, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if sharers.isEmpty():
+            break
+        affected = affected.unionByName(sharers).distinct().localCheckpoint(
+            eager=True
+        )
+    return affected
 
 
 def doc_hashes(documents: DataFrame) -> DataFrame:
@@ -357,8 +383,22 @@ def incremental_build(
 
     old_mentions = store.read_stage(spark, "mentions")
     if n_changed == 0 and n_deleted == 0:
-        # in-sync probe short-circuit (graph_updater.py:1538-1577)
-        g = build_graph_from_mentions(old_mentions)
+        # in-sync probe short-circuit (graph_updater.py:1538-1577): serve
+        # the graph straight from the stored stages when they exist — the
+        # noop probe must not rerun the join phase
+        changed.unpersist()
+        deleted.unpersist()
+        if store.has_stage("nodes") and store.has_stage("edges"):
+            g = GraphResult(
+                nodes=store.read_stage(spark, "nodes"),
+                edges=store.read_stage(spark, "edges"),
+                mentions=old_mentions,
+                entities=store.read_stage(spark, "entities")
+                if store.has_stage("entities")
+                else None,
+            )
+        else:
+            g = build_graph_from_mentions(old_mentions)
         return g, {"mode": "noop", "changed": 0, "deleted": 0}
 
     keep = old_mentions.join(changed, "doc_id", "left_anti").join(
@@ -396,8 +436,22 @@ def incremental_build(
         old_entities = store.read_stage(spark, "entities")
         old_prov = store.read_stage(spark, "edges_prov")
         scoped_raw = spliced.join(affected, "doc_id", "left_semi")
+        # global collision window: a scoped doc must get the SAME
+        # disambiguation winner a full rebuild gives it (ADVICE r2)
+        global_mods = spliced.filter(F.col("kind") == "module")
         scoped_mentions = _materialize(
-            disambiguate_modules(scoped_raw), "scoped-mentions"
+            disambiguate_modules(scoped_raw, module_mentions=global_mods),
+            "scoped-mentions",
+        )
+        # global resolution facts for the typed-receiver/chained rungs:
+        # out-of-scope docs' `returns` + `import` rows (the import rows let
+        # a return-type expr like `Circle` expand through its own module's
+        # alias map), disambiguated consistently with the global window
+        aux_returns = disambiguate_modules(
+            spliced.filter(F.col("kind").isin("returns", "import")).join(
+                affected, "doc_id", "left_anti"
+            ),
+            module_mentions=global_mods,
         )
         stats["scoped_mention_rows"] = scoped_mentions.count()
         entities = _materialize(
@@ -421,6 +475,7 @@ def incremental_build(
             all_docs=spliced.select("doc_id").distinct(),
             kept_edges_prov=kept,
             scope_docs=affected,
+            aux_mentions=aux_returns,
         )
         stats["mode"] = "incremental_scoped"
     else:

@@ -105,13 +105,16 @@ def lsh_link_candidates(
     """
     r = k // bands
     sigs = minhash_qn_signatures(entities, k)
+    # band hash via hash60 (md5-derived): portable, so the pure-Python twin
+    # (synth_model.expected_canonicalization — the kg_canonicalize driver
+    # oracle) replays the exact same buckets
     banded = sigs.select(
         "entity_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(
+                    hash60(
                         F.concat_ws(
                             ",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
                         )

@@ -95,13 +95,22 @@ class GraphResult:
                 pass
 
 
-def disambiguate_modules(mentions: DataFrame) -> DataFrame:
+def disambiguate_modules(
+    mentions: DataFrame, module_mentions: DataFrame | None = None
+) -> DataFrame:
     """Cross-language basename collisions: the first file (sorted doc order)
     keeps the plain module QN; later files get ``qn.<ext>`` appended, and all
     of that document's derived QNs are rewritten under the new prefix
     (reference ``definition_processor.py:260-269`` + deterministic winner =
-    sorted file order, ``graph_updater.py:1614-1617``)."""
-    mods = mentions.filter(F.col("kind") == "module").select("doc_id", "module_qn")
+    sorted file order, ``graph_updater.py:1614-1617``).
+
+    ``module_mentions``: optional GLOBAL module-mention frame the collision
+    window is computed over — the scoped incremental path passes the full
+    corpus's module rows here so a doc inside the blast radius gets the
+    SAME disambiguation winner as a full rebuild would give it."""
+    mods = (
+        module_mentions if module_mentions is not None else mentions
+    ).filter(F.col("kind") == "module").select("doc_id", "module_qn")
     w = Window.partitionBy("module_qn").orderBy("doc_id")
     ext = F.regexp_extract(F.col("doc_id"), r"\.([A-Za-z0-9_]+)$", 1)
     mapping = (
@@ -204,6 +213,7 @@ def assemble_graph(
     all_docs: DataFrame | None = None,
     kept_edges_prov: DataFrame | None = None,
     scope_docs: DataFrame | None = None,
+    aux_mentions: DataFrame | None = None,
 ) -> GraphResult:
     """The join phase. Full mode: ``mentions`` covers every doc and the kept
     frames are None. Scoped (incremental) mode: ``mentions`` holds only the
@@ -211,6 +221,11 @@ def assemble_graph(
     entity table, ``all_docs`` the full doc universe for the structure pass,
     ``kept_edges_prov`` the unaffected docs' provenance rows to carry over,
     and ``scope_docs`` the affected doc ids (filters entity-driven frames).
+    ``aux_mentions``: extra GLOBAL resolution facts (out-of-scope ``returns``
+    rows) fed ONLY to the call ladder, so typed-receiver/chained-return
+    resolution inside the scope sees the whole corpus's return types —
+    without them a scoped doc calling ``v = make(); v.area()`` where
+    ``make`` lives in an unaffected doc would lose its CALLS edge.
     """
     registry: list = []
     documents = (
@@ -261,9 +276,17 @@ def assemble_graph(
         F.col("doc_id").alias("src_doc"),
     )
 
-    # ---- imports / alias dictionary (from the scoped mentions) ----
+    # ---- imports / alias dictionary ----
+    # scoped mode: aux out-of-scope import/returns rows join in so the
+    # resolution rungs (import expansion of return-type exprs) see the whole
+    # corpus; duplicate re-emitted IMPORTS edges collapse in the by-src dedup
+    resolve_mentions = (
+        mentions
+        if aux_mentions is None
+        else mentions.unionByName(aux_mentions, allowMissingColumns=True)
+    )
     alias, import_edges, _ = build_alias_frame(
-        mentions, modules, persist_registry=registry
+        resolve_mentions, modules, persist_registry=registry
     )
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
@@ -292,13 +315,23 @@ def assemble_graph(
 
     # ---- calls / refs ----
     resolved = resolve_calls(
-        mentions, entities, alias, closure, persist_registry=registry
+        resolve_mentions, entities, alias, closure, persist_registry=registry
     )
     call_e = call_edges(resolved, entities)
 
-    # ---- io capture group (off in DEFAULT_GROUPS, like the reference) ----
-    io_e = io_edges(mentions, alias)
-    flow_e = flow_edges(resolved)
+    # ---- io capture group (off in DEFAULT_GROUPS, like the reference);
+    # gated here so default builds never pay the sink/flow/endpoint joins ----
+    io_group = []
+    if "io" in groups:
+        from code_graph_rag_spark.plans.endpoints import endpoint_edges
+        from code_graph_rag_spark.plans.flow import arg_flow_edges
+
+        io_group = [
+            io_edges(mentions, alias),
+            flow_edges(resolved),
+            arg_flow_edges(mentions, resolved, alias),
+            endpoint_edges(ent_scope, mentions),
+        ]
 
     # ---- exports: __all__ symbols → Module EXPORTS Class/Function ----
     exports = (
@@ -386,8 +419,7 @@ def assemble_graph(
         exports,
         deps,
         media_edges,
-        io_e,
-        flow_e,
+        *io_group,
     )
     edges_prov = new_prov
     if kept_edges_prov is not None:

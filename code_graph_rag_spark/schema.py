@@ -45,7 +45,7 @@ CAPTURE_GROUPS: dict[str, set[str]] = {
     "imports": {"IMPORTS", "EXPORTS", "DEPENDS_ON_EXTERNAL"},
     "types": {"INHERITS", "IMPLEMENTS", "OVERRIDES"},
     "calls": {"CALLS", "REFERENCES", "INSTANTIATES"},
-    "io": {"READS_FROM", "WRITES_TO", "FLOWS_TO"},
+    "io": {"READS_FROM", "WRITES_TO", "FLOWS_TO", "EXPOSES", "RESOLVES_TO"},
     "findings": {"IMPLEMENTS_PATTERN", "HAS_SMELL", "HAS_VULNERABILITY"},
     # engine extension for the interleaved-span input contract: media spans
     # attributed to their tightest enclosing definition (plans/spans.py)
@@ -97,6 +97,9 @@ MENTIONS_SCHEMA = T.StructType(
         T.StructField("module_qn", T.StringType(), False),
         # kind: module | function | class | interface | enum | method
         #     | import | call | ref | inherit | export | dependency | returns
+        #     | media | assign (var = call(), taint source) | argflow (one
+        #     call argument that names a local or a call result) | mount
+        #     (router mount registration, endpoint prefixes)
         T.StructField("kind", T.StringType(), False),
         # natural qualified name (pre variant-minting) for definitions;
         # null for call/import/inherit mentions

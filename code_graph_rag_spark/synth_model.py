@@ -157,6 +157,84 @@ def synth_expected_graph(
 
 REACH_PREDS = ("CALLS", "REFERENCES", "INSTANTIATES", "INHERITS")
 
+MOD = 1_000_000_007
+_PERMS = [
+    (2000007, 7),
+    (3999933, 912878),
+    (606667, 1825749),
+    (6222137, 2738620),
+    (4866143, 3651491),
+    (1213333, 4564362),
+    (9333141, 5477233),
+    (3111037, 6390104),
+]
+
+
+def _hash60(s: str) -> int:
+    """Python twin of operators.text.hash60 (md5 first 15 hex digits)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def expected_canonicalization(
+    entity_ids: list[str],
+    k: int = 8,
+    bands: int = 4,
+    min_agreement: float = 0.95,
+    max_bucket: int = 256,
+) -> list[tuple[str, str]]:
+    """Pure-Python twin of ``linking.canonicalize_entities`` (MinHash over
+    QN shingles → hash60 banding → bucket-capped pair join → agreement +
+    simple-name gate → connected components, min id canonical). Used as the
+    hard driver oracle for ``kg_canonicalize``."""
+    r = k // bands
+    sigs: dict[str, list[int]] = {}
+    for qn in set(entity_ids):
+        padded = f"^{qn}$"
+        hs = [
+            _hash60(padded[i : i + 3]) % MOD
+            for i in range(max(len(padded) - 2, 1))
+        ]
+        sigs[qn] = [min((h * a + b) % MOD for h in hs) for a, b in _PERMS[:k]]
+
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for qn, sig in sigs.items():
+        for b in range(bands):
+            bh = _hash60(",".join(str(x) for x in sig[b * r : (b + 1) * r]))
+            buckets.setdefault((b, bh), []).append(qn)
+
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                agree = sum(
+                    1 for x, y in zip(sigs[a], sigs[b]) if x == y
+                ) / float(k)
+                if agree >= min_agreement and a.rsplit(".", 1)[-1] == b.rsplit(
+                    ".", 1
+                )[-1]:
+                    pairs.add((a, b))
+
+    parent: dict[str, str] = {e: e for e in set(entity_ids)}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return sorted((e, find(e)) for e in set(entity_ids))
+
 
 def synth_expected_dead_code(
     n_docs: int, funcs_per_doc: int = 8, pkg_fanout: int = 50

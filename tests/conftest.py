@@ -16,11 +16,17 @@ from code_graph_rag_spark.session import get_spark  # noqa: E402
 def spark():
     # AQE off for tiny fixtures: per-stage re-planning dominates at this
     # scale; the bench/scale path (bench.py) runs with AQE on.
+    # AQE + whole-stage codegen OFF: at fixture scale the per-stage
+    # re-planning / Janino-compile fixed cost dominates actual execution
+    # (bench.py runs both ON at sf0.1 — that path measures the real plans)
     s = get_spark(
         cores=8,
         shuffle_partitions=2,
         app_name="cgr_spark_tests",
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.codegen.wholeStage": "false",
+        },
     )
     yield s
 

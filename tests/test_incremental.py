@@ -49,7 +49,11 @@ def _triples(g):
     return {(r.subj, r.pred, r.obj) for r in g.edges.collect()}
 
 
-def test_incremental_equals_full_rebuild(spark, store_dir):
+def test_incremental_lifecycle_equals_full_rebuild(spark, store_dir):
+    """One store lifecycle: full build → lineage written → noop probe
+    short-circuits (stage-served, no join phase) → edit/delete/add sync ≡
+    clean full rebuild. (Merged from three tests — one shared build chain
+    instead of three, same assertions.)"""
     from code_graph_rag_spark.incremental import StageStore, incremental_build
     from code_graph_rag_spark.pipeline import build_graph
 
@@ -58,6 +62,18 @@ def test_incremental_equals_full_rebuild(spark, store_dir):
     assert stats1["mode"] == "full"
     base = _triples(g1)
     assert ("inc.b.fb", "CALLS", "inc.a.fa") in base
+
+    # lineage sidecar (was test_lineage_written)
+    lin = store.lineage()
+    for stage in ("doc_hashes", "mentions", "nodes", "edges"):
+        assert stage in lin and lin[stage]["rows"] > 0
+        assert "secs" in lin[stage]
+
+    # noop probe: identical input → served from the stored stages
+    # (was test_noop_edit_shortcircuits)
+    gn, stats_n = incremental_build(spark, _docs(spark, V1), store)
+    assert stats_n["mode"] == "noop"
+    assert ("inc.b.fb", "CALLS", "inc.a.fa") in _triples(gn)
 
     g2, stats2 = incremental_build(spark, _docs(spark, V2), store)
     assert stats2["mode"].startswith("incremental")
@@ -71,27 +87,7 @@ def test_incremental_equals_full_rebuild(spark, store_dir):
     }
     # deleted file's subtree is gone
     assert not any("inc.c" in t[0] or "inc.c" in t[2] for t in _triples(g2))
-
-
-def test_noop_edit_shortcircuits(spark, store_dir):
-    from code_graph_rag_spark.incremental import StageStore, incremental_build
-
-    store = StageStore(store_dir)
-    incremental_build(spark, _docs(spark, V1), store)
-    g, stats = incremental_build(spark, _docs(spark, V1), store)
-    assert stats["mode"] == "noop"
-    assert ("inc.b.fb", "CALLS", "inc.a.fa") in _triples(g)
-
-
-def test_lineage_written(spark, store_dir):
-    from code_graph_rag_spark.incremental import StageStore, incremental_build
-
-    store = StageStore(store_dir)
-    incremental_build(spark, _docs(spark, V1), store)
-    lin = store.lineage()
-    for stage in ("doc_hashes", "mentions", "nodes", "edges"):
-        assert stage in lin and lin[stage]["rows"] > 0
-        assert "secs" in lin[stage]
+    clean.unpersist()
 
 
 def test_resume_from_mentions_stage(spark, store_dir):
@@ -164,6 +160,22 @@ def _mk_scoped_corpus(n=14):
             _doc(f"s/m{i}.py", f"def f{i}():\n    g{i}()\n\ndef g{i}():\n    pass\n")
         )
     docs.append(_doc("s/user.py", "from s.m3 import f3\n\ndef use():\n    f3()\n"))
+    # cross-doc return-type chain (ADVICE r2): typed.py consumes maker.py's
+    # return-type fact; editing typed.py must NOT lose the typed CALLS edge
+    # even though maker.py stays outside the blast radius
+    docs.append(
+        _doc(
+            "s/maker.py",
+            "class Widget:\n    def render(self):\n        pass\n\n"
+            "def make():\n    return Widget()\n",
+        )
+    )
+    docs.append(
+        _doc(
+            "s/typed.py",
+            "from s.maker import make\n\ndef t():\n    m = make()\n    m.render()\n",
+        )
+    )
     return docs
 
 
@@ -178,16 +190,27 @@ def test_scoped_incremental_small_radius(spark, store_dir):
     v1 = _mk_scoped_corpus()
     g1, _ = incremental_build(spark, _docs(spark, v1), store)
     assert ("s.user.use", "CALLS", "s.m3.f3") in _triples(g1)
+    assert ("s.typed.t", "CALLS", "s.maker.Widget.render") in _triples(g1)
 
-    # edit m3: f3 removed, h3 added — user.py's edge must disappear
-    v2 = [d for d in v1 if d["doc_id"] != "s/m3.py"]
+    # edit m3: f3 removed, h3 added — user.py's edge must disappear. Also
+    # edit typed.py (adds a second call) — its typed-receiver edge must
+    # survive even though maker.py stays out of scope (aux returns facts).
+    v2 = [d for d in v1 if d["doc_id"] not in ("s/m3.py", "s/typed.py")]
     v2.append(_doc("s/m3.py", "def g3():\n    pass\n\ndef h3():\n    g3()\n"))
+    v2.append(
+        _doc(
+            "s/typed.py",
+            "from s.maker import make\n\ndef t():\n    m = make()\n"
+            "    m.render()\n    m.render()\n",
+        )
+    )
     g2, stats = incremental_build(spark, _docs(spark, v2), store)
     assert stats["mode"] == "incremental_scoped", stats
-    # radius: m3 itself + user.py (imports the removed name); everything
+    # radius: m3 + typed.py + user.py (imports the removed name); everything
     # else is kept as provenance rows — O(changed), not O(corpus)
-    assert stats["scoped_docs"] <= 4, stats
+    assert stats["scoped_docs"] <= 5, stats
     assert stats["total_docs"] == len(v2)
+    assert ("s.typed.t", "CALLS", "s.maker.Widget.render") in _triples(g2)
 
     clean = build_graph(_docs(spark, v2))
     assert _triples(g2) == _triples(clean)
