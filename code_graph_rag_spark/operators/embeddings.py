@@ -85,6 +85,89 @@ def embed_entities(nodes: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     return ents.mapInPandas(embed, schema=_EMB_SCHEMA)
 
 
+def reconcile_embeddings(
+    nodes: DataFrame, stored: DataFrame | None = None, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Embedding-sink sync with a content-hash cache (the reference's
+    vector-store reconciliation, ``graph_updater.py:2051-2181`` +
+    ``embedder.py:226-296``): re-embedding a graph
+
+    * SKIPS entities whose embedded content is unchanged (equi-join on
+      (entity_id, content_hash) against the stored table — no encoder call,
+      the expensive model pass runs only over the delta);
+    * re-embeds new/changed entities;
+    * DROPS stored vectors whose entity no longer exists (orphan cleanup —
+      the stored-ID reconciliation walk, re-expressed as a semi-join).
+
+    ``stored``: previous output (entity_id, label, content_hash, embedding)
+    or None for a first run. Returns the new table with a ``src`` column
+    (``cache`` | ``fresh``) for observability. All decisions are joins —
+    model-free; the encoder stub only runs inside the fresh branch.
+    """
+    from code_graph_rag_spark.operators.text import hash60
+
+    current = nodes.filter(F.col("label").isin(*_EMBEDDABLE)).select(
+        F.col("id").alias("entity_id"),
+        "label",
+        "name",
+        hash60(F.concat_ws(" ", "id", "name")).alias("content_hash"),
+    )
+    if stored is None:
+        to_embed = current
+        kept = None
+    else:
+        key = ["entity_id", "content_hash"]
+        # unchanged ∧ still-existing → reuse the stored vector; vectors of
+        # deleted entities drop out of the semi-join (orphan cleanup)
+        kept = stored.join(current.select(*key), key, "left_semi").select(
+            "entity_id",
+            "label",
+            "content_hash",
+            "embedding",
+            F.lit("cache").alias("src"),
+        )
+        to_embed = current.join(stored.select(*key), key, "left_anti")
+
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", T.StringType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("content_hash", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def embed(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "entity_id": [],
+                        "label": [],
+                        "content_hash": pd.Series([], dtype="int64"),
+                        "embedding": [],
+                    }
+                )
+                continue
+            vecs = embed_texts(
+                [f"{i} {n}" for i, n in zip(pdf["entity_id"], pdf["name"])],
+                dim,
+            )
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"],
+                    "label": pdf["label"],
+                    "content_hash": pdf["content_hash"],
+                    "embedding": list(map(list, vecs)),
+                }
+            )
+
+    fresh = to_embed.mapInPandas(embed, schema=schema).withColumn(
+        "src", F.lit("fresh")
+    )
+    return fresh if kept is None else kept.unionByName(fresh)
+
+
 def semantic_search(
     nodes: DataFrame, query: str, k: int = 10, dim: int = EMBED_DIM
 ) -> DataFrame:

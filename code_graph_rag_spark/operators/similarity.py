@@ -61,6 +61,18 @@ def _to_matrix(col: pd.Series) -> np.ndarray:
     return np.array(col.tolist(), dtype=np.float64)
 
 
+def _seq_dots(e: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) × (p, dim) → (n, p) dot products accumulated STRICTLY in
+    list order (dim index 0..d-1). The bucket BIT is the dot's sign; numpy
+    matmul uses pairwise summation, whose rounding can flip a near-zero
+    sign vs the DuckDB oracle's in-order list_aggregate fold (ADVICE r2) —
+    sequential accumulation makes engine and oracle bit-identical."""
+    acc = np.zeros((e.shape[0], planes.shape[0]))
+    for j in range(e.shape[1]):
+        acc += np.outer(e[:, j], planes[:, j])
+    return acc
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(norms, 1e-300)
@@ -144,7 +156,7 @@ def with_lsh_bucket(
                 yield pdf
                 continue
             e = _to_matrix(pdf[emb_col])
-            bits = (e @ planes.T) > 0
+            bits = _seq_dots(e, planes) > 0
             pdf = pdf.copy()
             pdf["bucket"] = bits @ weights
             yield pdf
@@ -164,18 +176,23 @@ def lsh_topk(
     queries: DataFrame,
     dim: int | None = None,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: probe the query's sign-LSH bucket plus every
     bucket within Hamming distance ``probe_radius`` — each probe is an
     equi-join key. With radius 2 a query touches (1 + C(p,1) + C(p,2)) /
     2^p of the corpus (34% at 6 planes for tiny data, 0.2% at 16 planes
-    for cluster scale — grow planes with the corpus, not the radius).
+    for cluster scale). ``n_planes=None`` grows the plane count with the
+    corpus — ``max(6, ceil(log2(n / 64)))`` targets ~64-vector buckets, so
+    the probed fraction FALLS as the corpus grows instead of the radius
+    creeping up (the r2 verdict's "grow planes with corpus size").
     Recall@10 vs brute force is asserted ≥ 0.8 in tests.
     """
     if dim is None:
         dim = _embedding_dim(corpus)
+    if n_planes is None:
+        n_planes = max(6, math.ceil(math.log2(max(corpus.count(), 1) / 64)))
     cb = with_lsh_bucket(corpus, "embedding", dim, n_planes)
 
     planes = planes_matrix(dim, n_planes)
@@ -185,7 +202,7 @@ def lsh_topk(
     probe_rows = []
     for r in qrows:
         v = np.array(list(r["q_embedding"]), dtype=np.float64)
-        bucket = int((((planes @ v) > 0) @ weights))
+        bucket = int(((_seq_dots(v[None, :], planes)[0] > 0) @ weights))
         for m in masks:
             probe_rows.append(
                 (int(r["query_id"]), bucket ^ m, [float(x) for x in r["q_embedding"]])

@@ -102,32 +102,37 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
 def language_id(documents: DataFrame) -> DataFrame:
     """Marker-lexicon language ID (n-gram heuristic): per-language hit count
-    over the token set, argmax with deterministic tie-break."""
-    toks = F.transform(tokens(F.col("text")), F.lower)
-    scores = []
-    for lang, words in LANG_MARKERS.items():
-        arr = F.array([F.lit(w) for w in words])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                    "hits"
-                ),
-                F.lit(lang).alias("lang"),
+    over the token set, argmax with deterministic tie-break (hits desc,
+    lang asc).
+
+    Pure codegen: one ``regexp_extract_all`` per lexicon over the
+    space-padded lowercased text — whitespace lookaround makes the regex
+    count EXACTLY the whitespace-tokens equal to a marker (the round-1
+    per-token array-HOF plan evaluated interpreted lambdas per element,
+    ~100 µs/element — the banned hot-path shape)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lang: F.size(
+            F.regexp_extract_all(
+                padded,
+                F.lit(r"(?<=\s)(" + "|".join(LANG_MARKERS[lang]) + r")(?=\s)"),
+                1,
             )
         )
-    # argmax: sort by (hits desc, lang asc) → first
-    best = F.array_sort(
-        F.array(*scores),
-        lambda a, b: F.when(a["hits"] > b["hits"], -1)
-        .when(a["hits"] < b["hits"], 1)
-        .when(a["lang"] < b["lang"], -1)
-        .when(a["lang"] > b["lang"], 1)
-        .otherwise(0),
-    ).getItem(0)
+        for lang in langs
+    }
+    best_hits = F.greatest(*[hits[lang] for lang in langs])
+    pred = None
+    for lang in langs:  # alphabetical — first max wins, matching the oracle
+        cond = hits[lang] == best_hits
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(
+            cond, F.lit(lang)
+        )
     return documents.select(
         "doc_id",
-        best["lang"].alias("lang_pred"),
-        best["hits"].alias("marker_hits"),
+        pred.alias("lang_pred"),
+        best_hits.alias("marker_hits"),
     )
 
 

@@ -71,3 +71,44 @@ def test_dead_code_exported_roots(spark):
     assert "pub.lib.api" not in dead
     assert "pub.lib.internal_unused" in dead
     g.unpersist()
+
+
+def test_reconcile_embeddings_cache_and_orphans(spark):
+    """Content-hash reconciliation: unchanged entities reuse their stored
+    vector (no encoder pass), changed ones re-embed, deleted ones drop
+    (graph_updater.py:2051-2181 re-expressed as joins)."""
+    from code_graph_rag_spark.operators.embeddings import reconcile_embeddings
+
+    nodes_v1 = spark.createDataFrame(
+        [
+            ("Function", "p.a", "a"),
+            ("Function", "p.b", "b"),
+            ("Class", "p.C", "C"),
+        ],
+        "label string, id string, name string",
+    )
+    t1 = reconcile_embeddings(nodes_v1).collect()
+    assert {r.src for r in t1} == {"fresh"} and len(t1) == 3
+    stored = spark.createDataFrame(t1).drop("src")
+
+    # identical graph → everything served from the cache
+    t2 = reconcile_embeddings(nodes_v1, stored).collect()
+    assert {r.src for r in t2} == {"cache"} and len(t2) == 3
+
+    # rename b's name (content change), delete C, add d
+    nodes_v2 = spark.createDataFrame(
+        [
+            ("Function", "p.a", "a"),
+            ("Function", "p.b", "b2"),
+            ("Function", "p.d", "d"),
+        ],
+        "label string, id string, name string",
+    )
+    t3 = {r.entity_id: r for r in reconcile_embeddings(nodes_v2, stored).collect()}
+    assert t3["p.a"].src == "cache"
+    assert t3["p.b"].src == "fresh"  # content changed → re-embedded
+    assert t3["p.d"].src == "fresh"  # new entity
+    assert "p.C" not in t3  # orphaned vector removed
+    # cached vector is bit-identical to the original
+    orig = {r.entity_id: r.embedding for r in t1}
+    assert t3["p.a"].embedding == orig["p.a"]
