@@ -46,6 +46,54 @@ def _noop_write(df) -> int:
     return 0
 
 
+def _js_module_doc(i: int, n_docs: int, funcs_per_doc: int, pkg_fanout: int) -> dict:
+    """JS twin of fixtures._synth_module_doc — same call topology, ESM
+    imports, class pair with override + this-dispatch. Exercises the jslite
+    kernel + the shared join phase at bench scale."""
+    p = i % pkg_fanout
+    s1 = (i + 1) % n_docs
+    s1p = s1 % pkg_fanout
+    body = [
+        f"import {{ fn_0 }} from '../pkg{s1p:03d}/mod{s1:05d}';\n",
+        f"class B{i % 7} {{\n  run() {{ return 0; }}\n  step() {{ return 1; }}\n}}\n",
+        f"class C{i % 97} extends B{i % 7} {{\n"
+        "  run() { return this.step(); }\n  step() { return 1; }\n}\n",
+    ]
+    for f_i in range(funcs_per_doc):
+        callee = f"fn_{(f_i + 1) % funcs_per_doc}"
+        body.append(
+            f"export function fn_{f_i}() {{\n"
+            f"  {callee}();\n  fn_0();\n"
+            f"  const c = new C{i % 97}();\n  return c;\n}}\n"
+        )
+    text = "".join(body)
+    return {
+        "doc_id": f"jsbench/pkg{p:03d}/mod{i:05d}.js",
+        "spans": [{"kind": "code", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+def js_corpus(spark, n_docs: int, funcs_per_doc: int = 6, pkg_fanout: int = 40):
+    """Deterministic JS bench corpus, generated on the executors."""
+    import pandas as pd
+
+    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                _js_module_doc(int(i), n_docs, funcs_per_doc, pkg_fanout)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return spark.range(0, n_docs, 1, n_parts).mapInPandas(
+        gen, schema=DOCUMENTS_SCHEMA
+    )
+
+
 def run_bench(
     cores: int, include_queries: bool = True, kg_docs: int = KG_DOCS
 ) -> dict:
@@ -73,6 +121,18 @@ def run_bench(
     timings["kg_build"] = round(kg_secs, 2)
     g.unpersist()
     docs.unpersist()
+
+    # --- JS-tier throughput: same topology through the jslite kernel ---
+    if include_queries:
+        jdocs = js_corpus(spark, max(kg_docs // 2, 100)).persist()
+        jdocs.count()
+        t0 = time.time()
+        jg = build_graph(jdocs)
+        n_js_triples = jg.edges.count()
+        timings["kg_build_js"] = round(time.time() - t0, 2)
+        jg.unpersist()
+        jdocs.unpersist()
+        _ = n_js_triples
 
     if include_queries:
         qs = entrymod.queries()

@@ -31,6 +31,26 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drain_jvm_state(request):
+    """Per-module cleanup: drop py4j proxies (python gc) then force a JVM
+    GC so the ContextCleaner reclaims dead shuffles/broadcasts/checkpoints
+    immediately. Without this the shared session accumulates thousands of
+    dead registrations and later modules run 3-5x slower than isolated."""
+    yield
+    import gc
+
+    gc.collect()
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 @pytest.fixture(scope="session")
 def slice0_graph(spark):
     from code_graph_rag_spark.fixtures import slice0
