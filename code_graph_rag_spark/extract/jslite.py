@@ -310,12 +310,19 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             else innermost_callable()
         )
         qn = f"{parent.qn}.{name}"
+        # class-like parents all report "Class" (pylite convention — the
+        # DEFINES_METHOD split keys on it)
+        pkind = (
+            "Class"
+            if parent.kind in ("class", "interface", "enum")
+            else parent.kind.capitalize()
+        )
         row = {
             "kind": kind,
             "qn": qn,
             "name": name,
             "parent_qn": parent.qn,
-            "parent_kind": parent.kind.capitalize(),
+            "parent_kind": pkind,
             "start_line": line_no,
             "end_line": line_no,
             "start_col": col,
