@@ -200,12 +200,20 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                 )
             else:
                 # `import a.b.C` — in the path-derived QN scheme the class C
-                # lives in module a.b.C (file C.java), so the binding target
-                # is the FULL dotted path; the alias frame then resolves
-                # full_qn = a.b.C + ".C" = the class entity
+                # lives in module a.b.C (file C.java), so the BINDING target
+                # (``callee``) is the FULL dotted path; the alias frame then
+                # resolves full_qn = a.b.C + ".C" = the class entity. The
+                # IMPORTS *edge* target is the class's containing package
+                # a.b (reference import_processor.py:2576-2612 registers the
+                # class path but the module-level dependency is on the
+                # package) — it verifies against the Package node when the
+                # package is internal.
                 sym = target.rsplit(".", 1)[-1]
                 if is_static and "." in target:
                     target, sym = target.rsplit(".", 1)
+                container = (
+                    target.rsplit(".", 1)[0] if "." in target else target
+                )
                 mentions.append(
                     {
                         "kind": "import",
@@ -215,7 +223,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                         "start_line": line_no,
                         "start_col": 0,
                         "local_name": sym,
-                        "target": target,
+                        "target": container,
                         "callee": target,
                     }
                 )
@@ -473,11 +481,25 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     )
         for chm in _CHAIN_RE.finditer(line):
             expr, meth = chm.group(1), chm.group(2)
-            if expr.split(".")[0] in KEYWORDS:
+            first = expr.split(".")[0]
+            if first in KEYWORDS and first != "this":
                 continue
             h_caller, h_cls, h_qns = _ctx_at(chm.start(1))
             if h_caller is module_scope:
                 continue
+            # implicit-this: a bare `make().x()` (or explicit `this.make()`)
+            # inside class C is a call on C's own method — qualify the
+            # receiver expr with the class's module-relative path so the
+            # same-module rung of ``resolve_receiver_classes`` lands on the
+            # method QN (Java has no free functions, reference
+            # call_resolver.py:833-850 return-type chaining)
+            recv = expr
+            if h_cls and h_cls.startswith(module_qn + "."):
+                rel_cls = h_cls[len(module_qn) + 1 :]
+                if recv.startswith("this."):
+                    recv = f"{rel_cls}.{recv[5:]}"
+                elif "." not in recv:
+                    recv = f"{rel_cls}.{recv}"
             call_rows.append(
                 {
                     "kind": "call",
@@ -486,7 +508,7 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     "start_line": line_no,
                     "start_col": chm.start(1),
                     "callee": f"{expr}().{meth}",
-                    "recv_expr": expr,
+                    "recv_expr": recv,
                     "_stack": list(h_qns),
                     "_cls": h_cls,
                 }

@@ -30,12 +30,21 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     """Language dispatch: extension → per-language kernel (the Spark analogue
     of the reference's ``language_spec.py`` registry). Both kernels emit the
     SAME mention IR, so everything downstream is language-agnostic."""
+    from code_graph_rag_spark.extract.javalite import JAVA_EXTENSIONS
+    from code_graph_rag_spark.extract.javalite import parse_document as _parse_java
     from code_graph_rag_spark.extract.jslite import JS_EXTENSIONS
     from code_graph_rag_spark.extract.jslite import parse_document as _parse_js
     from code_graph_rag_spark.extract.pylite import doc_extension
+    from code_graph_rag_spark.extract.rustlite import RUST_EXTENSIONS
+    from code_graph_rag_spark.extract.rustlite import parse_document as _parse_rs
 
-    if doc_extension(doc_id) in JS_EXTENSIONS:
+    ext = doc_extension(doc_id)
+    if ext in JS_EXTENSIONS:
         return _parse_js(doc_id, text)
+    if ext in JAVA_EXTENSIONS:
+        return _parse_java(doc_id, text)
+    if ext in RUST_EXTENSIONS:
+        return _parse_rs(doc_id, text)
     return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}

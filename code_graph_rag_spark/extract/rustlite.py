@@ -31,7 +31,6 @@ from code_graph_rag_spark.extract.jslite import (
     _Scope,
     _matching_paren,
     _split_args,
-    _strip_line,
 )
 
 RUST_EXTENSIONS = frozenset({"rs"})
@@ -55,7 +54,8 @@ _STRUCT_RE = re.compile(
 )
 _TRAIT_RE = re.compile(rf"(?:^|\b)(?:pub(?:\([^)]*\))?\s+)?trait\s+({_ID})")
 _IMPL_RE = re.compile(
-    rf"(?:^|\b)impl(?:\s*<[^>]*>)?\s+(?:({_PATH})\s+for\s+)?({_PATH})\s*(?:where[^{{]*)?\{{"
+    rf"(?:^|\b)impl(?:\s*<[^>]*>)?\s+(?:({_PATH})(?:\s*<[^>]*>)?\s+for\s+)?"
+    rf"({_PATH})(?:\s*<[^>]*>)?\s*(?:where[^{{]*)?\{{"
 )
 _USE_RE = re.compile(r"^\s*(?:pub\s+)?use\s+([^;]+);")
 _CALL_RE = re.compile(rf"(?<![\w:.])({_PATH})\s*(?:::<[^>]*>)?\s*\(")
@@ -68,6 +68,78 @@ _PARAM_RE = re.compile(rf"^\s*(?:mut\s+)?({_ID})\s*:\s*&?(?:mut\s+)?({_PATH})")
 _RET_ANN_RE = re.compile(rf"->\s*&?({_PATH})")
 _RETURN_CALL_RE = re.compile(rf"^\s*return\s+({_PATH})\s*\(")
 _VAR_RECV_RE = re.compile(rf"(?<![\w:.])({_ID})\s*\.\s*({_ID})\s*\(")
+_CHAIN_RE = re.compile(
+    rf"(?<![\w:.])((?:self\.)?{_PATH})\s*\(\s*\)\s*\.\s*({_ID})\s*\("
+)
+
+_CHAR_LIT_RE = re.compile(r"'(?:\\.|[^'\\])'")
+
+
+def _strip_line(line: str, state: dict) -> tuple[str, str]:
+    """Rust-aware string/comment stripper (jslite's algorithm with Rust
+    quote semantics). A single quote is a *char-literal* delimiter only
+    when it closes within two chars (``'x'``, ``'\\n'``); otherwise it is
+    a lifetime (``'a``, ``'static``, ``impl<'a>``) and passes through —
+    jslite's stripper blanked the rest of such lines as "unterminated
+    strings", losing every method inside lifetime-annotated impls."""
+    out: list[str] = []
+    lit: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        if state.get("block_comment"):
+            end = line.find("*/", i)
+            if end == -1:
+                out.append(" " * (n - i))
+                lit.append(" " * (n - i))
+                break
+            out.append(" " * (end + 2 - i))
+            lit.append(" " * (end + 2 - i))
+            i = end + 2
+            state["block_comment"] = False
+            continue
+        ch = line[i]
+        if ch == "/" and i + 1 < n and line[i + 1] == "/":
+            break
+        if ch == "/" and i + 1 < n and line[i + 1] == "*":
+            state["block_comment"] = True
+            out.append("  ")
+            lit.append("  ")
+            i += 2
+            continue
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if line[j] == "\\":
+                    j += 2
+                    continue
+                if line[j] == '"':
+                    break
+                j += 1
+            if j >= n:
+                out.append(" " * (n - i))
+                lit.append(line[i:])
+                break
+            out.append('"' + " " * (j - i - 1) + '"')
+            lit.append(line[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "'":
+            m = _CHAR_LIT_RE.match(line, i)
+            if m:
+                span = m.end() - m.start()
+                out.append("'" + " " * (span - 2) + "'")
+                lit.append(m.group(0))
+                i = m.end()
+            else:
+                out.append(ch)
+                lit.append(ch)
+                i += 1
+            continue
+        out.append(ch)
+        lit.append(ch)
+        i += 1
+    return "".join(out), "".join(lit)
+
 
 _PRIMS = frozenset(
     "i8 i16 i32 i64 i128 u8 u16 u32 u64 u128 usize isize f32 f64 bool char str".split()
@@ -435,6 +507,45 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             if recv == "self" and c_cls is not None:
                 row["class_ctx_hint"] = f"{c_cls.qn}.{meth}"
             call_rows.append(row)
+        # chained calls on a call result: make().area() — the receiver
+        # expr is the producing fn; ``resolve_receiver_classes``'s fn hop
+        # (reference call_resolver.py:833-850) turns its `-> Circle`
+        # returns fact into the receiver class
+        for chm in _CHAIN_RE.finditer(line):
+            expr, meth = chm.group(1), chm.group(2)
+            first = expr.split("::")[0].split(".")[0]
+            if first in KEYWORDS and first not in ("self", "Self"):
+                continue
+            if any(s <= chm.start(1) < e for s, e in consumed):
+                continue
+            c_caller, c_cls, c_qns = _ctx_at(chm.start(1))
+            if c_caller is module_scope:
+                continue
+            recv = expr.replace("::", ".")
+            if c_cls is not None:
+                rel_cls = (
+                    c_cls.qn[len(module_qn) + 1 :]
+                    if c_cls.qn.startswith(module_qn + ".")
+                    else c_cls.name
+                )
+                if recv.startswith("self."):
+                    recv = f"{rel_cls}.{recv[5:]}"
+                elif recv.startswith("Self."):
+                    recv = f"{rel_cls}.{recv[5:]}"
+            call_rows.append(
+                {
+                    "kind": "call",
+                    "parent_qn": c_caller.qn,
+                    "parent_kind": c_caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": chm.start(1),
+                    "callee": f"{recv}().{meth}",
+                    "is_ret": False,
+                    "recv_expr": recv,
+                    "_stack": list(c_qns),
+                    "_cls": c_cls.qn if c_cls else None,
+                }
+            )
 
     mentions.insert(
         0,

@@ -1,0 +1,370 @@
+"""Packaged language-tier fixtures: corpora + hand-derived expected
+triple sets for the JS/Java/Rust pipeline tests AND the driver contract
+(``__spark_entry__.kg_{js,java,rust}_build``).
+
+Lives in the package (not tests/) so the driver contract works under
+spark-submit with only ``dist/cgr_spark.zip`` on the path — importing
+``tests.*`` from the entry raised ImportError outside a full repo
+checkout.
+
+Expected sets are hand-derived from the reference semantics
+(parsers/js_ts/, parsers/java/, parsers/rs/ test suites); the pipeline
+tests assert them, and the driver replays them as DuckDB VALUES oracles.
+"""
+
+from __future__ import annotations
+
+from code_graph_rag_spark.fixtures import _doc, code
+
+JS_DOCS = [
+    _doc("jsproj/util.js", code("export function utilFunc() { return 2; }\n")),
+    _doc(
+        "jsproj/main.js",
+        code(
+            "import { utilFunc } from './util';\n"
+            "function localFunc() { return 1; }\n"
+            "export function mainFunc() {\n"
+            "  utilFunc();\n"
+            "  localFunc();\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jsproj/shapes.js",
+        code(
+            "export class Shape {\n"
+            "  area() { return 0; }\n"
+            "  ident() { return this; }\n"
+            "}\n"
+            "export class Circle extends Shape {\n"
+            "  area() { return 3; }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jsproj/app.js",
+        code(
+            "import { Circle } from './shapes';\n"
+            "function make() { return new Circle(); }\n"
+            "function useLocal() {\n"
+            "  const c = new Circle();\n"
+            "  c.area();\n"
+            "  c.ident();\n"
+            "}\n"
+            "function useChained() {\n"
+            "  make().area();\n"
+            "}\n"
+            "class BigCircle extends Circle {\n"
+            "  area() {\n"
+            "    return super.area();\n"
+            "  }\n"
+            "  draw() {\n"
+            "    return this.area();\n"
+            "  }\n"
+            "}\n"
+        ),
+    ),
+]
+
+JS_EXPECTED = {
+    # structure / defines
+    ("jsproj.util", "DEFINES", "jsproj.util.utilFunc"),
+    ("jsproj.main", "DEFINES", "jsproj.main.localFunc"),
+    ("jsproj.main", "DEFINES", "jsproj.main.mainFunc"),
+    ("jsproj.shapes", "DEFINES", "jsproj.shapes.Shape"),
+    ("jsproj.shapes", "DEFINES", "jsproj.shapes.Circle"),
+    ("jsproj.app", "DEFINES", "jsproj.app.make"),
+    ("jsproj.app", "DEFINES", "jsproj.app.useLocal"),
+    ("jsproj.app", "DEFINES", "jsproj.app.useChained"),
+    ("jsproj.app", "DEFINES", "jsproj.app.BigCircle"),
+    ("jsproj.shapes.Shape", "DEFINES_METHOD", "jsproj.shapes.Shape.area"),
+    ("jsproj.shapes.Shape", "DEFINES_METHOD", "jsproj.shapes.Shape.ident"),
+    ("jsproj.shapes.Circle", "DEFINES_METHOD", "jsproj.shapes.Circle.area"),
+    ("jsproj.app.BigCircle", "DEFINES_METHOD", "jsproj.app.BigCircle.area"),
+    ("jsproj.app.BigCircle", "DEFINES_METHOD", "jsproj.app.BigCircle.draw"),
+    # imports (ESM relative specifiers → module QNs)
+    ("jsproj.main", "IMPORTS", "jsproj.util"),
+    ("jsproj.app", "IMPORTS", "jsproj.shapes"),
+    # exports
+    ("jsproj.util", "EXPORTS", "jsproj.util.utilFunc"),
+    ("jsproj.main", "EXPORTS", "jsproj.main.mainFunc"),
+    ("jsproj.shapes", "EXPORTS", "jsproj.shapes.Shape"),
+    ("jsproj.shapes", "EXPORTS", "jsproj.shapes.Circle"),
+    # calls: import rung + same-module rung
+    ("jsproj.main.mainFunc", "CALLS", "jsproj.util.utilFunc"),
+    ("jsproj.main.mainFunc", "CALLS", "jsproj.main.localFunc"),
+    # inheritance + overrides across files
+    ("jsproj.shapes.Circle", "INHERITS", "jsproj.shapes.Shape"),
+    ("jsproj.app.BigCircle", "INHERITS", "jsproj.shapes.Circle"),
+    ("jsproj.shapes.Circle.area", "OVERRIDES", "jsproj.shapes.Shape.area"),
+    ("jsproj.app.BigCircle.area", "OVERRIDES", "jsproj.shapes.Circle.area"),
+    # new Ctor() → INSTANTIATES
+    ("jsproj.app.make", "INSTANTIATES", "jsproj.shapes.Circle"),
+    ("jsproj.app.useLocal", "INSTANTIATES", "jsproj.shapes.Circle"),
+    # typed receiver: const c = new Circle(); c.area() / inherited c.ident()
+    ("jsproj.app.useLocal", "CALLS", "jsproj.shapes.Circle.area"),
+    ("jsproj.app.useLocal", "CALLS", "jsproj.shapes.Shape.ident"),
+    # chained return-type inference: make().area()
+    ("jsproj.app.useChained", "CALLS", "jsproj.app.make"),
+    ("jsproj.app.useChained", "CALLS", "jsproj.shapes.Circle.area"),
+    # super.m() → nearest base; this.m() → own class
+    ("jsproj.app.BigCircle.area", "CALLS", "jsproj.shapes.Circle.area"),
+    ("jsproj.app.BigCircle.draw", "CALLS", "jsproj.app.BigCircle.area"),
+}
+
+JS_FORBIDDEN = {
+    # typed receiver prefers the receiver class over its ancestor
+    ("jsproj.app.useLocal", "CALLS", "jsproj.shapes.Shape.area"),
+    # super() must skip the own class
+    ("jsproj.app.BigCircle.area", "CALLS", "jsproj.app.BigCircle.area"),
+    # this.m() must prefer the own class over the base
+    ("jsproj.app.BigCircle.draw", "CALLS", "jsproj.shapes.Circle.area"),
+}
+
+JAVA_DOCS = [
+    _doc(
+        "jproj/shapes/Shape.java",
+        code(
+            "package jproj.shapes;\n\n"
+            "public class Shape {\n"
+            "    public double area() {\n"
+            "        return 0;\n"
+            "    }\n"
+            "    public Shape ident() {\n"
+            "        return this;\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jproj/shapes/Circle.java",
+        code(
+            "package jproj.shapes;\n\n"
+            "public class Circle extends Shape {\n"
+            "    public double area() {\n"
+            "        return 3;\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jproj/app/Renderable.java",
+        code(
+            "package jproj.app;\n\n"
+            "public interface Renderable {\n"
+            "    void render();\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jproj/app/App.java",
+        code(
+            "package jproj.app;\n\n"
+            "import jproj.shapes.Circle;\n"
+            "import jproj.shapes.Shape;\n\n"
+            "public class App implements Renderable {\n"
+            "    public Circle make() {\n"
+            "        return new Circle();\n"
+            "    }\n"
+            "    public void useLocal() {\n"
+            "        Circle c = new Circle();\n"
+            "        c.area();\n"
+            "        c.ident();\n"
+            "    }\n"
+            "    public void useParam(Shape s) {\n"
+            "        s.area();\n"
+            "    }\n"
+            "    public void useChained() {\n"
+            "        make().area();\n"
+            "    }\n"
+            "    public void render() {\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "jproj/app/BigCircle.java",
+        code(
+            "package jproj.app;\n\n"
+            "import jproj.shapes.Circle;\n\n"
+            "public class BigCircle extends Circle {\n"
+            "    public double area() {\n"
+            "        return super.area();\n"
+            "    }\n"
+            "    public double draw() {\n"
+            "        return this.area();\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+]
+
+JAVA_EXPECTED = {
+    # defines / methods (module = file path QN; Circle.java → jproj.shapes.Circle)
+    ("jproj.shapes.Shape", "DEFINES", "jproj.shapes.Shape.Shape"),
+    ("jproj.shapes.Shape.Shape", "DEFINES_METHOD", "jproj.shapes.Shape.Shape.area"),
+    ("jproj.shapes.Shape.Shape", "DEFINES_METHOD", "jproj.shapes.Shape.Shape.ident"),
+    ("jproj.shapes.Circle", "DEFINES", "jproj.shapes.Circle.Circle"),
+    ("jproj.shapes.Circle.Circle", "DEFINES_METHOD", "jproj.shapes.Circle.Circle.area"),
+    ("jproj.app.App", "DEFINES", "jproj.app.App.App"),
+    ("jproj.app.Renderable", "DEFINES", "jproj.app.Renderable.Renderable"),
+    ("jproj.app.BigCircle", "DEFINES", "jproj.app.BigCircle.BigCircle"),
+    # imports
+    ("jproj.app.App", "IMPORTS", "jproj.shapes"),
+    ("jproj.app.BigCircle", "IMPORTS", "jproj.shapes"),
+    # inheritance across files (import-resolved) + interface split
+    ("jproj.shapes.Circle.Circle", "INHERITS", "jproj.shapes.Shape.Shape"),
+    ("jproj.app.BigCircle.BigCircle", "INHERITS", "jproj.shapes.Circle.Circle"),
+    ("jproj.app.App.App", "IMPLEMENTS", "jproj.app.Renderable.Renderable"),
+    # overrides through the closure
+    (
+        "jproj.shapes.Circle.Circle.area",
+        "OVERRIDES",
+        "jproj.shapes.Shape.Shape.area",
+    ),
+    (
+        "jproj.app.BigCircle.BigCircle.area",
+        "OVERRIDES",
+        "jproj.shapes.Circle.Circle.area",
+    ),
+    (
+        "jproj.app.App.App.render",
+        "OVERRIDES",
+        "jproj.app.Renderable.Renderable.render",
+    ),
+    # typed receivers: declared local, declared param, chained return type
+    ("jproj.app.App.App.make", "INSTANTIATES", "jproj.shapes.Circle.Circle"),
+    ("jproj.app.App.App.useLocal", "INSTANTIATES", "jproj.shapes.Circle.Circle"),
+    ("jproj.app.App.App.useLocal", "CALLS", "jproj.shapes.Circle.Circle.area"),
+    ("jproj.app.App.App.useLocal", "CALLS", "jproj.shapes.Shape.Shape.ident"),
+    ("jproj.app.App.App.useParam", "CALLS", "jproj.shapes.Shape.Shape.area"),
+    ("jproj.app.App.App.useChained", "CALLS", "jproj.app.App.App.make"),
+    ("jproj.app.App.App.useChained", "CALLS", "jproj.shapes.Circle.Circle.area"),
+    # super / this dispatch
+    (
+        "jproj.app.BigCircle.BigCircle.area",
+        "CALLS",
+        "jproj.shapes.Circle.Circle.area",
+    ),
+    (
+        "jproj.app.BigCircle.BigCircle.draw",
+        "CALLS",
+        "jproj.app.BigCircle.BigCircle.area",
+    ),
+}
+
+JAVA_FORBIDDEN = {
+    ("jproj.app.App.App.useLocal", "CALLS", "jproj.shapes.Shape.Shape.area"),
+    (
+        "jproj.app.BigCircle.BigCircle.area",
+        "CALLS",
+        "jproj.app.BigCircle.BigCircle.area",
+    ),
+    (
+        "jproj.app.BigCircle.BigCircle.draw",
+        "CALLS",
+        "jproj.shapes.Circle.Circle.area",
+    ),
+}
+
+RUST_DOCS = [
+    _doc(
+        "rproj/shapes.rs",
+        code(
+            "pub trait Render {\n"
+            "    fn render(&self);\n"
+            "}\n\n"
+            "pub struct Shape;\n\n"
+            "impl Shape {\n"
+            "    pub fn area(&self) -> f64 {\n"
+            "        0.0\n"
+            "    }\n"
+            "}\n\n"
+            "pub struct Circle;\n\n"
+            "impl Circle {\n"
+            "    pub fn new() -> Self {\n"
+            "        Circle\n"
+            "    }\n"
+            "    pub fn area(&self) -> f64 {\n"
+            "        3.0\n"
+            "    }\n"
+            "    pub fn grow(&self) {\n"
+            "        self.area();\n"
+            "    }\n"
+            "}\n\n"
+            "impl Render for Circle {\n"
+            "    fn render(&self) {\n"
+            "        self.area();\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "rproj/app.rs",
+        code(
+            "use crate::shapes::Circle;\n"
+            "use crate::shapes::Shape;\n\n"
+            "pub fn make() -> Circle {\n"
+            "    Circle::new()\n"
+            "}\n\n"
+            "pub fn use_local() {\n"
+            "    let c: Circle = make();\n"
+            "    c.area();\n"
+            "    c.grow();\n"
+            "}\n\n"
+            "pub fn use_param(s: &Shape) {\n"
+            "    s.area();\n"
+            "}\n\n"
+            "pub fn use_chained() {\n"
+            "    make().area();\n"
+            "}\n"
+        ),
+    ),
+]
+
+RUST_EXPECTED = {
+    # defines
+    ("rproj.shapes", "DEFINES", "rproj.shapes.Render"),
+    ("rproj.shapes", "DEFINES", "rproj.shapes.Shape"),
+    ("rproj.shapes", "DEFINES", "rproj.shapes.Circle"),
+    ("rproj.app", "DEFINES", "rproj.app.make"),
+    ("rproj.app", "DEFINES", "rproj.app.use_local"),
+    ("rproj.app", "DEFINES", "rproj.app.use_param"),
+    ("rproj.app", "DEFINES", "rproj.app.use_chained"),
+    # impl methods attach to the struct; trait method to the trait
+    ("rproj.shapes.Render", "DEFINES_METHOD", "rproj.shapes.Render.render"),
+    ("rproj.shapes.Shape", "DEFINES_METHOD", "rproj.shapes.Shape.area"),
+    ("rproj.shapes.Circle", "DEFINES_METHOD", "rproj.shapes.Circle.new"),
+    ("rproj.shapes.Circle", "DEFINES_METHOD", "rproj.shapes.Circle.area"),
+    ("rproj.shapes.Circle", "DEFINES_METHOD", "rproj.shapes.Circle.grow"),
+    ("rproj.shapes.Circle", "DEFINES_METHOD", "rproj.shapes.Circle.render"),
+    # use-imports resolve to the defining module
+    ("rproj.app", "IMPORTS", "rproj.shapes"),
+    # trait impl → IMPLEMENTS + override through the closure
+    ("rproj.shapes.Circle", "IMPLEMENTS", "rproj.shapes.Render"),
+    (
+        "rproj.shapes.Circle.render",
+        "OVERRIDES",
+        "rproj.shapes.Render.render",
+    ),
+    # Type::assoc() through the import rung
+    ("rproj.app.make", "CALLS", "rproj.shapes.Circle.new"),
+    # typed let / param / chained return type
+    ("rproj.app.use_local", "CALLS", "rproj.app.make"),
+    ("rproj.app.use_local", "CALLS", "rproj.shapes.Circle.area"),
+    ("rproj.app.use_local", "CALLS", "rproj.shapes.Circle.grow"),
+    ("rproj.app.use_param", "CALLS", "rproj.shapes.Shape.area"),
+    ("rproj.app.use_chained", "CALLS", "rproj.app.make"),
+    ("rproj.app.use_chained", "CALLS", "rproj.shapes.Circle.area"),
+    # self-dispatch inside impls
+    ("rproj.shapes.Circle.grow", "CALLS", "rproj.shapes.Circle.area"),
+    ("rproj.shapes.Circle.render", "CALLS", "rproj.shapes.Circle.area"),
+}
+
+RUST_FORBIDDEN = {
+    # typed receiver must prefer Circle's area, never Shape's
+    ("rproj.app.use_local", "CALLS", "rproj.shapes.Shape.area"),
+    ("rproj.app.use_chained", "CALLS", "rproj.shapes.Shape.area"),
+    # param typed Shape must not bind Circle's area
+    ("rproj.app.use_param", "CALLS", "rproj.shapes.Circle.area"),
+}

@@ -178,12 +178,15 @@ def semantic_search(
     driver-side, stream the entity embeddings once, exact top-k.
     """
     from code_graph_rag_spark.operators.similarity import brute_force_topk
+    from code_graph_rag_spark.operators.text import hash60
 
     spark = nodes.sparkSession
     # numeric ids for the ANN operator without a global ordering shuffle:
-    # xxhash64 of the entity id (deterministic; ties in top-k break on it)
+    # hash60(entity id) — deterministic AND oracle-replayable (md5-based;
+    # exact cosine ties DO occur between same-named entities, and the
+    # tie-break must replay in the pure-Python twin, so xxhash64 is out)
     emb = embed_entities(nodes, dim).withColumn(
-        "vec_id", F.xxhash64("entity_id")
+        "vec_id", hash60(F.col("entity_id"))
     )
     qvec = [float(x) for x in embed_texts([query], dim)[0]]
     queries = spark.createDataFrame(

@@ -286,7 +286,12 @@ def assemble_graph(
         else mentions.unionByName(aux_mentions, allowMissingColumns=True)
     )
     alias, import_edges, _ = build_alias_frame(
-        resolve_mentions, modules, persist_registry=registry
+        resolve_mentions,
+        modules,
+        persist_registry=registry,
+        packages=struct_nodes.filter(F.col("label") == "Package").select(
+            F.col("id").alias("pkg_id")
+        ),
     )
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 

@@ -98,6 +98,7 @@ def build_alias_frame(
     mentions: DataFrame,
     modules: DataFrame,
     persist_registry: list | None = None,
+    packages: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """imports mentions → (alias frame, IMPORTS edges, ExternalModule nodes).
 
@@ -165,7 +166,29 @@ def build_alias_frame(
         )
         .filter(F.col("subj") != F.col("obj"))
     )
-    external = imp2.filter(F.col("edge_mqn").isNull()).select(
+    unresolved = imp2.filter(F.col("edge_mqn").isNull())
+    if packages is not None:
+        # container verification: an import target that is not a known
+        # module but IS a known internal Package (Java class-imports name
+        # `pkg.Class`; the edge target is the containing package) verifies
+        # to the Package node instead of minting an ExternalModule
+        # (reference container-alias rung, import_processor.py:861-1058)
+        unresolved = unresolved.join(
+            packages.select(F.col("pkg_id")).distinct(),
+            unresolved["target"] == F.col("pkg_id"),
+            "left",
+        )
+        internal_pkg = unresolved.filter(F.col("pkg_id").isNotNull()).select(
+            F.col("module_qn").alias("subj"),
+            F.lit("IMPORTS").alias("pred"),
+            F.col("target").alias("obj"),
+            F.lit("Module").alias("subj_label"),
+            F.lit("Package").alias("obj_label"),
+            F.col("doc_id").alias("src_doc"),
+        )
+        internal = internal.unionByName(internal_pkg)
+        unresolved = unresolved.filter(F.col("pkg_id").isNull())
+    external = unresolved.select(
         F.col("module_qn").alias("subj"),
         F.lit("IMPORTS").alias("pred"),
         F.col("target").alias("obj"),

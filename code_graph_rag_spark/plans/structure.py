@@ -65,9 +65,16 @@ def structure_pass(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
         .distinct()
     )
 
-    # package detection: directory has an index file directly inside
+    # package detection: directory has an index file directly inside, or
+    # directly contains a .java file (Java packages ARE directories — the
+    # reference's package semantics, import_processor.py:2160-2166: external
+    # Java imports point package-level; internally the package is the
+    # dotted-dir node class-imports verify against)
     index_dirs = (
-        files.filter(F.col("name").isin(*INDEX_FILES))
+        files.filter(
+            F.col("name").isin(*INDEX_FILES)
+            | F.col("name").endswith(".java")
+        )
         .select(F.col("dir").alias("path"))
         .distinct()
         .withColumn("is_package", F.lit(True))

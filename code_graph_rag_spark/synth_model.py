@@ -270,3 +270,101 @@ def synth_expected_dead_code(
         for (label, nid, name, path) in nodes
         if label in ("Function", "Method") and nid not in visited
     )
+
+
+def expected_resolution_stats(
+    n_docs: int, funcs_per_doc: int = 8, pkg_fanout: int = 50
+) -> list[tuple]:
+    """Analytic (kind, n_mentions, n_resolved, n_unresolved) for the synth
+    corpus — the twin of ``queries.resolution_stats`` over a
+    ``build_graph(synth_corpus(...))`` run.
+
+    Counting from the corpus shape (one mention per distinct
+    (doc, line, col, callee, kind) site, so repeated ``fn_0()`` lines in
+    one function are distinct mentions):
+
+    * each of the ``funcs_per_doc`` functions makes 4 calls —
+      ``fn_{f+1}()`` (resolves: import/same-module rung), ``fn_0()``
+      (resolves: import rung), ``numpy.zeros`` (external — SUPPRESSED, the
+      ladder never binds external targets), ``C{i%97}()`` (resolves:
+      same-module ctor → INSTANTIATES);
+    * ``C.run``'s ``self.step()`` resolves via the class-context rung;
+    * every 5th module has a ``tail_{i}`` function calling ``fn_0()``
+      (resolves).
+
+    The synth corpus emits no ``ref`` mentions, so the output is the
+    single ``call`` row.
+    """
+    n_tail = (n_docs + 4) // 5  # i % 5 == 0 for i in [0, n_docs)
+    n_mentions = n_docs * (4 * funcs_per_doc + 1) + n_tail
+    n_resolved = n_docs * (3 * funcs_per_doc + 1) + n_tail
+    return [("call", n_mentions, n_resolved, n_mentions - n_resolved)]
+
+
+def _stub_embed_matrix(texts: list[str], dim: int = 64):
+    """The documented stub-encoder contract (operators/embeddings.py
+    ``embed_texts`` docstring): char-trigram crc32 fold with weight
+    ``1 + (h >> 16) % 3``, L2-normalized, float32. Re-implemented here so
+    the oracle side never imports engine code."""
+    import zlib
+
+    import numpy as np
+
+    m = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        s = f"^{(t or '').lower()}$"
+        for j in range(len(s) - 2):
+            h = zlib.crc32(s[j : j + 3].encode("utf-8"))
+            m[i, h % dim] += 1.0 + (h >> 16) % 3
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return (m / np.maximum(norms, 1e-300)).astype(np.float32)
+
+
+def expected_semantic_search(
+    n_docs: int,
+    funcs_per_doc: int,
+    pkg_fanout: int,
+    query: str,
+    k: int = 10,
+    dim: int = 64,
+) -> list[tuple]:
+    """Driver-side twin of ``kg_semantic_search``: embed every embeddable
+    entity of the analytic expected graph plus the query with the stub
+    contract, exact cosine in float64 (matching the engine's
+    float32-storage → float64-renormalize pipeline), top-k by
+    (cosine desc, hash60(entity_id) asc) — the engine's exact order, fully
+    replayable because the tie-break id is md5-based.
+    Returns (entity_id, label, cosine_rounded_6, rank).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    nodes, _edges = synth_expected_graph(n_docs, funcs_per_doc, pkg_fanout)
+    embeddable = ("Function", "Method", "Class", "Module", "Interface", "Enum")
+    ents = [
+        (nid, label, name)
+        for (label, nid, name, _p) in nodes
+        if label in embeddable
+    ]
+    texts = [f"{nid} {name}" for (nid, _l, name) in ents]
+    m32 = _stub_embed_matrix(texts, dim)
+    q32 = _stub_embed_matrix([query], dim)
+    # engine stores float32 and re-normalizes in float64 before the dot
+    m64 = m32.astype(np.float64)
+    m64 /= np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-300)
+    q64 = q32.astype(np.float64)[0]
+    q64 /= max(np.linalg.norm(q64), 1e-300)
+    cos = m64 @ q64
+    tie = np.array([_hash60(nid) for (nid, _l, _n) in ents], dtype=np.int64)
+    order = np.lexsort((tie, -cos))
+    out = []
+    for rank, idx in enumerate(order[:k], start=1):
+        nid, label, _name = ents[idx]
+        rounded = float(
+            Decimal(repr(float(cos[idx]))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        out.append((nid, label, rounded, rank))
+    return out

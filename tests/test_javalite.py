@@ -39,11 +39,17 @@ def test_imports_bind_full_path():
         "class A { }\n"
     )
     ms = parse_document("acme/A.java", src)
-    imps = {(m["local_name"], m["target"], m["name"]) for m in _by_kind(ms, "import")}
-    assert ("Circle", "com.acme.shapes.Circle", "Circle") in imps
-    assert ("List", "java.util.List", "List") in imps
-    assert ("util", "com.acme.util", None) in imps  # wildcard → module itself
-    assert ("max", "java.lang.Math", "max") in imps
+    # the IMPORTS edge target is the containing package; the BINDING
+    # (callee) keeps the full class path so the alias frame resolves the
+    # class entity
+    imps = {
+        (m["local_name"], m["target"], m["callee"], m["name"])
+        for m in _by_kind(ms, "import")
+    }
+    assert ("Circle", "com.acme.shapes", "com.acme.shapes.Circle", "Circle") in imps
+    assert ("List", "java.util", "java.util.List", "List") in imps
+    assert ("util", "com.acme.util", "com.acme.util", None) in imps  # wildcard
+    assert ("max", "java.lang", "java.lang.Math", "max") in imps
 
 
 def test_extends_implements_and_dispatch():
@@ -86,7 +92,9 @@ def test_declared_types_and_returns():
     calls = {m["callee"]: m for m in _by_kind(ms, "call")}
     assert calls["c.area"]["recv_expr"] == "Circle"  # declared local
     assert calls["s.area"]["recv_expr"] == "Shape"  # declared param
-    assert calls["make().area"]["recv_expr"] == "make"  # chained return type
+    # chained return type: implicit-this qualifies the receiver expr with
+    # the enclosing class's module-relative path
+    assert calls["make().area"]["recv_expr"] == "U.make"
     # return new Circle() inside make is the return-flow source; the plain
     # ctor call inside go is not
     ctor_rows = {
