@@ -12,6 +12,7 @@ expressible → rows-only checks.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -308,34 +309,51 @@ def kg_arg_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
-    language-agnostic join phase (parsers/js_ts/ analogue). Corpus and
-    hand-derived expected set live in tests/test_pipeline_js.py; the driver
-    oracle replays that exact set."""
+def _lang_build(spark: SparkSession, docs_rows: list[dict]) -> DataFrame:
+    """Shared body of the per-language tier queries: build the graph over
+    the packaged fixture corpus, project the whitelisted predicates. The
+    oracle replays the hand-derived expected set as VALUES — an EXACT
+    per-predicate equality check (the sets were completed to the full
+    engine output, so any extra OR missing edge is a mismatch)."""
+    from code_graph_rag_spark.fixtures_lang import LANG_ORACLE_PREDS
     from code_graph_rag_spark.pipeline import build_graph
     from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
-    from tests.test_pipeline_js import JS_DOCS
 
-    docs = spark.createDataFrame(JS_DOCS, schema=DOCUMENTS_SCHEMA)
+    docs = spark.createDataFrame(docs_rows, schema=DOCUMENTS_SCHEMA)
     g = build_graph(docs)
     return (
-        g.edges.filter(F.col("pred").isin(*sorted(_JS_ORACLE_PREDS)))
+        g.edges.filter(F.col("pred").isin(*LANG_ORACLE_PREDS))
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred", "obj")
     )
 
 
-_JS_ORACLE_PREDS = {
-    "DEFINES",
-    "DEFINES_METHOD",
-    "IMPORTS",
-    "EXPORTS",
-    "CALLS",
-    "INSTANTIATES",
-    "INHERITS",
-    "OVERRIDES",
-}
+def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
+    language-agnostic join phase (parsers/js_ts/ analogue)."""
+    from code_graph_rag_spark.fixtures_lang import JS_DOCS
+
+    return _lang_build(spark, JS_DOCS)
+
+
+def kg_java_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java language tier end-to-end (parsers/java/ analogue): class-file
+    imports verify to the containing Package, static-type receivers
+    (declared locals/params/returns) drive call resolution, implements
+    splits from extends."""
+    from code_graph_rag_spark.fixtures_lang import JAVA_DOCS
+
+    return _lang_build(spark, JAVA_DOCS)
+
+
+def kg_rust_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rust language tier end-to-end (parsers/rs/ analogue): use-imports
+    with crate anchoring, impl blocks attach methods to the struct, trait
+    impls emit IMPLEMENTS, typed lets/params/return annotations resolve
+    receivers."""
+    from code_graph_rag_spark.fixtures_lang import RUST_DOCS
+
+    return _lang_build(spark, RUST_DOCS)
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
         "kg_js_build": kg_js_build,
+        "kg_java_build": kg_java_build,
+        "kg_rust_build": kg_rust_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -697,7 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_KG_ORACLE_DIR = "/tmp/cgr_kg_oracle"
+# per-process oracle scratch dir: a fixed path let concurrent harness/bench
+# runs overwrite each other's parquet mid-read
+_KG_ORACLE_DIR = f"/tmp/cgr_kg_oracle_{os.getpid()}"
 
 
 def _write_kg_oracle_tables() -> str:
@@ -750,12 +772,12 @@ def _write_kg_oracle_tables() -> str:
     return _KG_ORACLE_DIR
 
 
-def _js_build_sql() -> str:
-    """VALUES oracle from the hand-derived JS fixture expectation set
-    (tests/test_pipeline_js.py EXPECTED — every pred in the whitelist)."""
-    from tests.test_pipeline_js import EXPECTED
+def _lang_build_sql(expected: set) -> str:
+    """VALUES oracle from a packaged hand-derived expectation set
+    (code_graph_rag_spark.fixtures_lang — every pred in the whitelist)."""
+    from code_graph_rag_spark.fixtures_lang import LANG_ORACLE_PREDS
 
-    rows = sorted(t for t in EXPECTED if t[1] in _JS_ORACLE_PREDS)
+    rows = sorted(t for t in expected if t[1] in LANG_ORACLE_PREDS)
     values = ",\n                ".join(
         f"('{s}', '{p}', '{o}')" for s, p, o in rows
     )
@@ -766,7 +788,46 @@ def _js_build_sql() -> str:
         """
 
 
+def _semantic_search_sql() -> str:
+    """VALUES oracle for kg_semantic_search from the analytic twin
+    (synth_model.expected_semantic_search): stub-contract embeddings,
+    exact float64 cosine, hash60 tie-break — bit-for-bit replayable."""
+    from code_graph_rag_spark.synth_model import expected_semantic_search
+
+    rows = expected_semantic_search(
+        30, 4, 6, "pkg001 mod00001 fn_0 function", k=10
+    )
+    values = ",\n                ".join(
+        f"('{eid}', '{lbl}', {cos:.6f}::DOUBLE, {rank}::INT)"
+        for eid, lbl, cos, rank in rows
+    )
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) t(entity_id, label, cosine, rank) ORDER BY rank
+        """
+
+
+def _resolution_stats_sql() -> str:
+    """VALUES oracle for kg_resolution_stats from the closed-form mention
+    counts (synth_model.expected_resolution_stats)."""
+    from code_graph_rag_spark.synth_model import expected_resolution_stats
+
+    rows = expected_resolution_stats(30, funcs_per_doc=4, pkg_fanout=6)
+    values = ",\n                ".join(
+        f"('{k}', {m}::BIGINT, {r}::BIGINT, {u}::BIGINT)"
+        for k, m, r, u in rows
+    )
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) t(kind, n_mentions, n_resolved, n_unresolved) ORDER BY kind
+        """
+
+
 def _kg_oracles() -> dict[str, str]:
+    from code_graph_rag_spark import fixtures_lang as _FL
+
     d = _write_kg_oracle_tables()
     edges_pq = f"read_parquet('{d}/edges.parquet')"
     nodes_pq = f"read_parquet('{d}/nodes.parquet')"
@@ -831,7 +892,14 @@ def _kg_oracles() -> dict[str, str]:
                 ('taint.app.pipeline', 'taint.app.use_kw', 'kw:data', 'arg')
             ) t(subj, obj, via, kind) ORDER BY subj, obj, via
         """,
-        "kg_js_build": _js_build_sql(),
+        "kg_js_build": _lang_build_sql(_FL.JS_EXPECTED),
+        "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
+        "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
+        # analytic twins (synth_model.py): the stub encoder + hash60
+        # tie-break make the semantic read path exactly replayable; the
+        # resolution counters fall out of the corpus shape in closed form
+        "kg_semantic_search": _semantic_search_sql(),
+        "kg_resolution_stats": _resolution_stats_sql(),
         # hand-derived from the io/flow semantics for the fixed 3-function
         # input program (see kg_io_flow): open('data.json') reads the file,
         # json.load reads a dynamic file handle, open('out.txt','w') writes,

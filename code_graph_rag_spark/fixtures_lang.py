@@ -16,6 +16,21 @@ from __future__ import annotations
 
 from code_graph_rag_spark.fixtures import _doc, code
 
+# predicate whitelist shared by the per-language exact-set pipeline tests
+# and the kg_{js,java,rust}_build driver oracles: on these predicates the
+# engine's edge set must EQUAL the expected set (not merely contain it)
+LANG_ORACLE_PREDS = (
+    "DEFINES",
+    "DEFINES_METHOD",
+    "IMPORTS",
+    "EXPORTS",
+    "CALLS",
+    "INSTANTIATES",
+    "INHERITS",
+    "IMPLEMENTS",
+    "OVERRIDES",
+)
+
 JS_DOCS = [
     _doc("jsproj/util.js", code("export function utilFunc() { return 2; }\n")),
     _doc(
@@ -208,6 +223,26 @@ JAVA_EXPECTED = {
     ("jproj.shapes.Circle.Circle", "DEFINES_METHOD", "jproj.shapes.Circle.Circle.area"),
     ("jproj.app.App", "DEFINES", "jproj.app.App.App"),
     ("jproj.app.Renderable", "DEFINES", "jproj.app.Renderable.Renderable"),
+    ("jproj.app.App.App", "DEFINES_METHOD", "jproj.app.App.App.make"),
+    ("jproj.app.App.App", "DEFINES_METHOD", "jproj.app.App.App.render"),
+    ("jproj.app.App.App", "DEFINES_METHOD", "jproj.app.App.App.useChained"),
+    ("jproj.app.App.App", "DEFINES_METHOD", "jproj.app.App.App.useLocal"),
+    ("jproj.app.App.App", "DEFINES_METHOD", "jproj.app.App.App.useParam"),
+    (
+        "jproj.app.BigCircle.BigCircle",
+        "DEFINES_METHOD",
+        "jproj.app.BigCircle.BigCircle.area",
+    ),
+    (
+        "jproj.app.BigCircle.BigCircle",
+        "DEFINES_METHOD",
+        "jproj.app.BigCircle.BigCircle.draw",
+    ),
+    (
+        "jproj.app.Renderable.Renderable",
+        "DEFINES_METHOD",
+        "jproj.app.Renderable.Renderable.render",
+    ),
     ("jproj.app.BigCircle", "DEFINES", "jproj.app.BigCircle.BigCircle"),
     # imports
     ("jproj.app.App", "IMPORTS", "jproj.shapes"),

@@ -34,6 +34,24 @@ def test_java_expected_triples(java_graph):
     assert not missing, f"missing={sorted(missing)}"
 
 
+def test_java_exact_predicate_sets(java_graph):
+    """On the whitelisted predicates the edge set must EQUAL the expected
+    set — this is the same equality the kg_java_build driver oracle
+    replays, so a drift shows up here first."""
+    from code_graph_rag_spark.fixtures_lang import LANG_ORACLE_PREDS
+
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in java_graph.edges.filter(
+            F.col("pred").isin(*LANG_ORACLE_PREDS)
+        ).collect()
+    }
+    assert got == JAVA_EXPECTED, (
+        f"extra={sorted(got - JAVA_EXPECTED)} "
+        f"missing={sorted(JAVA_EXPECTED - got)}"
+    )
+
+
 def test_java_forbidden_triples(java_graph):
     got = {
         (r.subj, r.pred, r.obj)

@@ -34,6 +34,23 @@ def test_rust_expected_triples(rust_graph):
     assert not missing, f"missing={sorted(missing)}"
 
 
+def test_rust_exact_predicate_sets(rust_graph):
+    """Exact equality on the whitelisted predicates — mirrors the
+    kg_rust_build driver oracle."""
+    from code_graph_rag_spark.fixtures_lang import LANG_ORACLE_PREDS
+
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in rust_graph.edges.filter(
+            F.col("pred").isin(*LANG_ORACLE_PREDS)
+        ).collect()
+    }
+    assert got == RUST_EXPECTED, (
+        f"extra={sorted(got - RUST_EXPECTED)} "
+        f"missing={sorted(RUST_EXPECTED - got)}"
+    )
+
+
 def test_rust_forbidden_triples(rust_graph):
     got = {
         (r.subj, r.pred, r.obj)
