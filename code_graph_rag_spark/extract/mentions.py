@@ -88,30 +88,63 @@ def _media_rows(spans: list, module_qn: str) -> list[dict]:
     return out
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+# mention kinds consumed ONLY by the io capture group (plans/flow.py
+# assignment-taint / per-argument flow, plans/endpoints.py mount prefixes).
+# `returns` is NOT here: the chained-return resolution rung (core) needs it.
+_IO_ONLY_KINDS = frozenset({"assign", "argflow", "mount"})
+
+
+def _extract_batches(
+    drop_kinds: frozenset[str] = frozenset(),
+):
     from code_graph_rag_spark.extract.pylite import module_qn_for
 
-    for pdf in batches:
-        rows: list[dict] = []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            module_qn, _ = module_qn_for(doc_id)
-            text = _code_text(list(spans))
-            doc_rows = parse_document(doc_id, text)  # language-dispatched
-            if doc_rows and doc_rows[0].get("kind") == "module":
-                doc_rows.extend(_media_rows(list(spans), module_qn))
-            for m in doc_rows:
-                m["doc_id"] = doc_id
-                m["module_qn"] = module_qn
-                rows.append(m)
-        out = pd.DataFrame(rows, columns=_COLS)
-        for c in _INT_COLS:
-            out[c] = out[c].astype("Int32")
-        out["is_ret"] = out["is_ret"].map(lambda v: bool(v) if v is not None and v == v else False)
-        yield out
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                module_qn, _ = module_qn_for(doc_id)
+                text = _code_text(list(spans))
+                doc_rows = parse_document(doc_id, text)  # language-dispatched
+                if doc_rows and doc_rows[0].get("kind") == "module":
+                    doc_rows.extend(_media_rows(list(spans), module_qn))
+                for m in doc_rows:
+                    if m["kind"] in drop_kinds:
+                        continue
+                    m["doc_id"] = doc_id
+                    m["module_qn"] = module_qn
+                    rows.append(m)
+            out = pd.DataFrame(rows, columns=_COLS)
+            for c in _INT_COLS:
+                out[c] = out[c].astype("Int32")
+            out["is_ret"] = out["is_ret"].map(
+                lambda v: bool(v) if v is not None and v == v else False
+            )
+            yield out
+
+    return run
 
 
-def extract_mentions(documents: DataFrame, partitions: int | None = None) -> DataFrame:
-    """documents(doc_id, spans) → mentions frame (MENTIONS_SCHEMA)."""
+def extract_mentions(
+    documents: DataFrame,
+    partitions: int | None = None,
+    groups: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) → mentions frame (MENTIONS_SCHEMA).
+
+    ``groups``: the build's capture groups. When given WITHOUT ``io``, the
+    io-only fact rows (assign/argflow/mount) are dropped inside the Arrow
+    batch before they ever hit the mentions checkpoint — a default build
+    must not pay row volume for joins it will never run (measured: the
+    always-on fact rows were the round-3 kg_build toy-scale regression).
+    ``None`` keeps every row (the incremental stage store extracts once
+    for ALL groups, so a later io build can reuse the stored stage).
+    """
     n = partitions or documents.sparkSession.sparkContext.defaultParallelism
     docs = documents.repartitionByRange(n, F.col("doc_id"))
-    return docs.mapInPandas(_extract_batches, schema=MENTIONS_SCHEMA)
+    drop = (
+        _IO_ONLY_KINDS
+        if groups is not None and "io" not in groups
+        else frozenset()
+    )
+    return docs.mapInPandas(_extract_batches(drop), schema=MENTIONS_SCHEMA)

@@ -125,14 +125,16 @@ def lsh_link_candidates(
         ).alias("band", "band_hash"),
     )
     if max_bucket is not None:
-        bucket_n = F.count("*").over(
-            Window.partitionBy("band", "band_hash")
+        # skew-safe cap (groupBy + left-semi, the dedup.py pattern): the
+        # count aggregates with map-side partial combine, so a mega-bucket
+        # never serializes through one window task before being dropped
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_hash")
         )
-        banded = (
-            banded.withColumn("_bn", bucket_n)
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        banded = banded.join(small, ["band", "band_hash"], "left_semi")
     left = banded.select(
         F.col("entity_id").alias("a"), F.col("sig").alias("sig_a"), "band", "band_hash"
     )

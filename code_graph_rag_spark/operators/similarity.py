@@ -171,6 +171,18 @@ def probe_masks(n_planes: int, radius: int) -> list[int]:
     ]
 
 
+def _stats_rowcount(df: DataFrame) -> int | None:
+    """Catalyst plan-statistics row count (free: parquet footer / CBO
+    stats), or None when the optimizer can't prove one."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        return None
+    return None
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,6 +190,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int | None = None,
     probe_radius: int = 2,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's sign-LSH bucket plus every
     bucket within Hamming distance ``probe_radius`` — each probe is an
@@ -192,7 +205,16 @@ def lsh_topk(
     if dim is None:
         dim = _embedding_dim(corpus)
     if n_planes is None:
-        n_planes = max(6, math.ceil(math.log2(max(corpus.count(), 1) / 64)))
+        # sizing source, in preference order: caller-supplied count →
+        # Catalyst plan statistics (free) → count() as a documented last
+        # resort (an extra corpus scan — at warehouse scale pass n_corpus
+        # or keep table stats ANALYZEd so the plan row count is defined)
+        n = n_corpus
+        if n is None:
+            n = _stats_rowcount(corpus)
+        if n is None:
+            n = corpus.count()
+        n_planes = max(6, math.ceil(math.log2(max(n, 1) / 64)))
     cb = with_lsh_bucket(corpus, "embedding", dim, n_planes)
 
     planes = planes_matrix(dim, n_planes)

@@ -34,7 +34,26 @@ def norm_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
+    """Whitespace tokens as an array (COLD PATH ONLY: ``F.filter`` is an
+    interpreted array HOF). Hot paths use ``n_tokens_col`` for counts and
+    ``norm_tokens`` for arrays over pre-normalized text — both codegen."""
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def n_tokens_col(col: Column) -> Column:
+    """Whitespace-token count without materializing an array: one
+    ``regexp_count`` of non-space runs — pure whole-stage codegen."""
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+def norm_tokens(col: Column) -> Column:
+    """Token array of ``norm_text``-normalized text: the normal form has
+    single-space separators and no edge whitespace, so a plain split is
+    exact and no interpreted filter is needed (empty text → empty array)."""
+    norm = norm_text(col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
 
 
 def hash60(col: Column) -> Column:
@@ -46,15 +65,16 @@ def token_stats(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
     (word pieces / numbers / single punctuation marks)."""
     txt = F.col("text")
-    toks = tokens(txt)
-    bpe_ish = F.filter(
-        F.split(txt, r"(?<=[\s.,!?;:])|(?=[\s.,!?;:])"),
-        lambda t: F.trim(t) != "",
-    )
+    # BPE-ish pieces = runs of non-delimiter chars + each punctuation mark
+    # on its own; counted with two regexp_counts (codegen) instead of the
+    # former split + interpreted F.filter HOF
+    bpe_count = F.regexp_count(
+        txt, F.lit(r"[^\s.,!?;:]+")
+    ) + F.regexp_count(txt, F.lit(r"[.,!?;:]"))
     return documents.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(bpe_ish).alias("n_bpe_tokens"),
+        n_tokens_col(txt).alias("n_tokens"),
+        bpe_count.alias("n_bpe_tokens"),
         F.length(txt).alias("n_chars_measured"),
     )
 
@@ -69,7 +89,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     5k docs at sf0.1); this form is pure codegen.
     """
     txt = F.col("text")
-    n_tok = F.size(tokens(txt))
+    n_tok = n_tokens_col(txt)
     n_chars = F.length(txt)
     n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
     stop_re = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
@@ -158,7 +178,7 @@ def shingles(col: Column, n: int = 3) -> Column:
     NOTE: array HOFs are interpreted per element in Spark — for bulk work
     prefer ``doc_shingles`` (posexplode + lead windows, fully codegen'd).
     """
-    toks = tokens(norm_text(col))
+    toks = norm_tokens(col)
     return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(
             F.transform(
@@ -180,7 +200,7 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     from pyspark.sql import Window
 
     base = documents.select(
-        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+        "doc_id", norm_tokens(F.col("text")).alias("toks")
     )
     small = base.filter(F.size("toks") < n).select(
         "doc_id", F.array_join("toks", " ").alias("shingle")

@@ -185,7 +185,9 @@ def build_graph(
     groups: tuple[str, ...] = DEFAULT_GROUPS,
     partitions: int | None = None,
 ) -> GraphResult:
-    return build_graph_from_mentions(extract_mentions(documents, partitions), groups)
+    return build_graph_from_mentions(
+        extract_mentions(documents, partitions, groups=groups), groups
+    )
 
 
 def build_graph_from_mentions(
