@@ -346,6 +346,16 @@ def kg_java_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_build(spark, JAVA_DOCS)
 
 
+def kg_go_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go language tier end-to-end (parsers/go/ analogue): package-dir
+    module collapse, receiver methods attach to their type (the deferred
+    Go pass, graph_updater.py:674-676), typed receivers incl. the
+    fn-return hop, case-based EXPORTS, go.mod DEPENDS_ON_EXTERNAL."""
+    from code_graph_rag_spark.fixtures_lang import GO_DOCS
+
+    return _lang_build(spark, GO_DOCS)
+
+
 def kg_rust_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rust language tier end-to-end (parsers/rs/ analogue): use-imports
     with crate anchoring, impl blocks attach methods to the struct, trait
@@ -689,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_js_build": kg_js_build,
         "kg_java_build": kg_java_build,
         "kg_rust_build": kg_rust_build,
+        "kg_go_build": kg_go_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -895,6 +906,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_js_build": _lang_build_sql(_FL.JS_EXPECTED),
         "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
+        "kg_go_build": _lang_build_sql(_FL.GO_EXPECTED),
         # analytic twins (synth_model.py): the stub encoder + hash60
         # tie-break make the semantic read path exactly replayable; the
         # resolution counters fall out of the corpus shape in closed form

@@ -80,7 +80,14 @@ MANIFEST_FILES = {
     "requirements.txt": "requirements",
     "pyproject.toml": "pyproject",
     "package.json": "package_json",
+    "go.mod": "gomod",
+    "Cargo.toml": "cargo",
 }
+_GOMOD_REQ_RE = re.compile(r"^\s*(?:require\s+)?([\w./\-]+)\s+(v[\w.\-+]+)")
+_CARGO_DEP_RE = re.compile(
+    r'^\s*([A-Za-z_][\w\-]*)\s*=\s*(?:"([^"]*)"'
+    r'|\{[^}]*version\s*=\s*"([^"]*)")'
+)
 _IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
 _FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
 _DECOR_RE = re.compile(r"^(\s*)@\s*([\w.]+)")
@@ -127,7 +134,14 @@ def module_qn_for(doc_id: str) -> tuple[str, str]:
     stem = parts[-1]
     dot = stem.rfind(".")
     base = stem[:dot] if dot > 0 else stem
+    ext = stem[dot + 1 :] if dot > 0 else ""
     if base in ("__init__", "mod", "index"):
+        qn_parts = parts[:-1]
+    elif ext == "go" and len(parts) >= 2 and base == parts[-2]:
+        # Go package-dir convention: `shapes/shapes.go` is the package's
+        # anchor file and collapses to its directory, so `import
+        # "proj/shapes"` verifies to a Module (Go's import unit is the
+        # DIRECTORY — reference parsers/go/module_paths.py)
         qn_parts = parts[:-1]
     else:
         qn_parts = parts[:-1] + [base]
@@ -375,6 +389,46 @@ def _parse_manifest(doc_id: str, text: str, flavor: str) -> list[dict]:
                         "parent_kind": "Project",
                         "start_line": idx + 1,
                         "props": json.dumps({"version_spec": m.group(2)}),
+                    }
+                )
+            continue
+        if flavor == "gomod":
+            # `require path v1.2.3` (single or inside a require block);
+            # the `module`/`go`/`replace` directives are not dependencies
+            # (reference parsers/dependency_parser.py go.mod handling)
+            if line.startswith(("module ", "go ", "replace ", ")", "require (")):
+                continue
+            m = _GOMOD_REQ_RE.match(line)
+            if m:
+                out.append(
+                    {
+                        "kind": "dependency",
+                        "name": m.group(1),
+                        "parent_qn": project,
+                        "parent_kind": "Project",
+                        "start_line": idx + 1,
+                        "props": json.dumps({"version_spec": m.group(2)}),
+                    }
+                )
+            continue
+        if flavor == "cargo":
+            # [dependencies]/[dev-dependencies]/[build-dependencies]
+            # sections; `name = "1.0"` or `name = { version = "1.0", .. }`
+            if line.startswith("["):
+                in_dep_block = line.strip("[]").endswith("dependencies")
+                continue
+            m = _CARGO_DEP_RE.match(line)
+            if in_dep_block and m:
+                out.append(
+                    {
+                        "kind": "dependency",
+                        "name": m.group(1),
+                        "parent_qn": project,
+                        "parent_kind": "Project",
+                        "start_line": idx + 1,
+                        "props": json.dumps(
+                            {"version_spec": m.group(2) or m.group(3) or ""}
+                        ),
                     }
                 )
             continue

@@ -29,6 +29,7 @@ LANG_ORACLE_PREDS = (
     "INHERITS",
     "IMPLEMENTS",
     "OVERRIDES",
+    "DEPENDS_ON_EXTERNAL",
 )
 
 JS_DOCS = [
@@ -402,4 +403,128 @@ RUST_FORBIDDEN = {
     ("rproj.app.use_chained", "CALLS", "rproj.shapes.Shape.area"),
     # param typed Shape must not bind Circle's area
     ("rproj.app.use_param", "CALLS", "rproj.shapes.Circle.area"),
+}
+
+
+GO_DOCS = [
+    _doc(
+        "goproj/go.mod",
+        code(
+            "module example.com/goproj\n\n"
+            "go 1.22\n\n"
+            "require (\n"
+            "\tgithub.com/stretchr/testify v1.8.0\n"
+            "\tgolang.org/x/sync v0.5.0\n"
+            ")\n"
+        ),
+    ),
+    _doc(
+        "goproj/shapes/shapes.go",
+        code(
+            "package shapes\n\n"
+            "type Render interface {\n"
+            "\tRender() error\n"
+            "}\n\n"
+            "type Shape struct{}\n\n"
+            "func (s *Shape) Area() float64 {\n"
+            "\treturn 0\n"
+            "}\n\n"
+            "func (s *Shape) Ident() *Shape {\n"
+            "\treturn s\n"
+            "}\n\n"
+            "type Circle struct{}\n\n"
+            "func (c *Circle) Area() float64 {\n"
+            "\treturn 3\n"
+            "}\n\n"
+            "func (c *Circle) Grow() {\n"
+            "\tc.Area()\n"
+            "}\n\n"
+            "func NewCircle() *Circle {\n"
+            "\treturn &Circle{}\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "goproj/app/app.go",
+        code(
+            "package app\n\n"
+            "import (\n"
+            '\t"fmt"\n'
+            '\t"goproj/shapes"\n'
+            ")\n\n"
+            "func Make() *shapes.Circle {\n"
+            "\treturn shapes.NewCircle()\n"
+            "}\n\n"
+            "func UseLocal() {\n"
+            "\tc := shapes.NewCircle()\n"
+            "\tc.Area()\n"
+            "\tc.Grow()\n"
+            "}\n\n"
+            "func UseVar() {\n"
+            "\tvar d shapes.Circle\n"
+            "\td.Area()\n"
+            "}\n\n"
+            "func UseParam(s *shapes.Shape) {\n"
+            "\ts.Area()\n"
+            "}\n\n"
+            "func UseChained() {\n"
+            "\tMake().Area()\n"
+            '\tfmt.Println("done")\n'
+            "}\n"
+        ),
+    ),
+]
+
+GO_EXPECTED = {
+    # defines (shapes/shapes.go collapses to the dir module goproj.shapes)
+    ("goproj.shapes", "DEFINES", "goproj.shapes.Render"),
+    ("goproj.shapes", "DEFINES", "goproj.shapes.Shape"),
+    ("goproj.shapes", "DEFINES", "goproj.shapes.Circle"),
+    ("goproj.shapes", "DEFINES", "goproj.shapes.NewCircle"),
+    ("goproj.app", "DEFINES", "goproj.app.Make"),
+    ("goproj.app", "DEFINES", "goproj.app.UseLocal"),
+    ("goproj.app", "DEFINES", "goproj.app.UseVar"),
+    ("goproj.app", "DEFINES", "goproj.app.UseParam"),
+    ("goproj.app", "DEFINES", "goproj.app.UseChained"),
+    # receiver methods attach to their type (the deferred Go pass)
+    ("goproj.shapes.Render", "DEFINES_METHOD", "goproj.shapes.Render.Render"),
+    ("goproj.shapes.Shape", "DEFINES_METHOD", "goproj.shapes.Shape.Area"),
+    ("goproj.shapes.Shape", "DEFINES_METHOD", "goproj.shapes.Shape.Ident"),
+    ("goproj.shapes.Circle", "DEFINES_METHOD", "goproj.shapes.Circle.Area"),
+    ("goproj.shapes.Circle", "DEFINES_METHOD", "goproj.shapes.Circle.Grow"),
+    # imports: the dir module verifies internally; fmt is external
+    ("goproj.app", "IMPORTS", "goproj.shapes"),
+    ("goproj.app", "IMPORTS", "fmt"),
+    # Go case-based visibility → EXPORTS
+    ("goproj.shapes", "EXPORTS", "goproj.shapes.Render"),
+    ("goproj.shapes", "EXPORTS", "goproj.shapes.Shape"),
+    ("goproj.shapes", "EXPORTS", "goproj.shapes.Circle"),
+    ("goproj.shapes", "EXPORTS", "goproj.shapes.NewCircle"),
+    ("goproj.app", "EXPORTS", "goproj.app.Make"),
+    ("goproj.app", "EXPORTS", "goproj.app.UseLocal"),
+    ("goproj.app", "EXPORTS", "goproj.app.UseVar"),
+    ("goproj.app", "EXPORTS", "goproj.app.UseParam"),
+    ("goproj.app", "EXPORTS", "goproj.app.UseChained"),
+    # go.mod manifest → Project DEPENDS_ON_EXTERNAL
+    ("goproj", "DEPENDS_ON_EXTERNAL", "github.com/stretchr/testify"),
+    ("goproj", "DEPENDS_ON_EXTERNAL", "golang.org/x/sync"),
+    # calls: alias rung, composite-literal INSTANTIATES, receiver typing
+    ("goproj.app.Make", "CALLS", "goproj.shapes.NewCircle"),
+    ("goproj.shapes.NewCircle", "INSTANTIATES", "goproj.shapes.Circle"),
+    ("goproj.app.UseLocal", "CALLS", "goproj.shapes.NewCircle"),
+    ("goproj.app.UseLocal", "CALLS", "goproj.shapes.Circle.Area"),
+    ("goproj.app.UseLocal", "CALLS", "goproj.shapes.Circle.Grow"),
+    ("goproj.app.UseVar", "CALLS", "goproj.shapes.Circle.Area"),
+    ("goproj.app.UseParam", "CALLS", "goproj.shapes.Shape.Area"),
+    ("goproj.app.UseChained", "CALLS", "goproj.app.Make"),
+    ("goproj.app.UseChained", "CALLS", "goproj.shapes.Circle.Area"),
+    # receiver self-dispatch inside the type's own method
+    ("goproj.shapes.Circle.Grow", "CALLS", "goproj.shapes.Circle.Area"),
+}
+
+GO_FORBIDDEN = {
+    # receiver typed *Shape must never bind Circle's method (and vice versa)
+    ("goproj.app.UseParam", "CALLS", "goproj.shapes.Circle.Area"),
+    ("goproj.app.UseChained", "CALLS", "goproj.shapes.Shape.Area"),
+    ("goproj.app.UseLocal", "CALLS", "goproj.shapes.Shape.Area"),
 }

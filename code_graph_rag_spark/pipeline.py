@@ -349,7 +349,9 @@ def assemble_graph(
             F.col("doc_id").alias("src_doc"),
         )
         .join(
-            entities.filter(F.col("label").isin("Class", "Function")).select(
+            entities.filter(
+                F.col("label").isin("Class", "Function", "Interface", "Enum")
+            ).select(
                 F.col("qn").alias("target"),
                 F.col("qualified_name").alias("obj"),
                 F.col("label").alias("obj_label"),
