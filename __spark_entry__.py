@@ -328,6 +328,27 @@ def _lang_build(spark: SparkSession, docs_rows: list[dict]) -> DataFrame:
     )
 
 
+def kg_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Findings analyzers (opt-in ``findings`` capture group): declarative
+    line rules → Pattern/CodeSmell/SecurityIssue nodes + finding edges
+    (reference analyzers/ast_grep_analyzer.py, ast_grep_rules/)."""
+    from code_graph_rag_spark.fixtures_lang import FINDINGS_DOCS
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(FINDINGS_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("findings",))
+    return (
+        g.edges.filter(
+            F.col("pred").isin(
+                "IMPLEMENTS_PATTERN", "HAS_SMELL", "HAS_VULNERABILITY"
+            )
+        )
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
     language-agnostic join phase (parsers/js_ts/ analogue)."""
@@ -696,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_io_flow": kg_io_flow,
         "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
+        "kg_findings": kg_findings,
         "kg_js_build": kg_js_build,
         "kg_java_build": kg_java_build,
         "kg_rust_build": kg_rust_build,
@@ -907,6 +929,16 @@ def _kg_oracles() -> dict[str, str]:
         "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
         "kg_go_build": _lang_build_sql(_FL.GO_EXPECTED),
+        "kg_findings": """
+            SELECT * FROM (VALUES
+                """
+        + ",\n                ".join(
+            f"('{s}', '{p}', '{o}')"
+            for s, p, o in sorted(_FL.FINDINGS_EXPECTED)
+        )
+        + """
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
+        """,
         # analytic twins (synth_model.py): the stub encoder + hash60
         # tie-break make the semantic read path exactly replayable; the
         # resolution counters fall out of the corpus shape in closed form

@@ -100,8 +100,10 @@ _IO_ONLY_KINDS = frozenset({"assign", "argflow", "mount"})
 
 def _extract_batches(
     drop_kinds: frozenset[str] = frozenset(),
+    emit_findings: bool = False,
 ):
     from code_graph_rag_spark.extract.pylite import module_qn_for
+    from code_graph_rag_spark.plans.findings import finding_mentions
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,6 +114,10 @@ def _extract_batches(
                 doc_rows = parse_document(doc_id, text)  # language-dispatched
                 if doc_rows and doc_rows[0].get("kind") == "module":
                     doc_rows.extend(_media_rows(list(spans), module_qn))
+                    if emit_findings:
+                        # findings run inside this same scan — a post-pass
+                        # would re-read the whole corpus (plans/findings.py)
+                        doc_rows.extend(finding_mentions(doc_id, text))
                 for m in doc_rows:
                     if m["kind"] in drop_kinds:
                         continue
@@ -151,4 +157,7 @@ def extract_mentions(
         if groups is not None and "io" not in groups
         else frozenset()
     )
-    return docs.mapInPandas(_extract_batches(drop), schema=MENTIONS_SCHEMA)
+    emit_findings = groups is None or "findings" in groups
+    return docs.mapInPandas(
+        _extract_batches(drop, emit_findings), schema=MENTIONS_SCHEMA
+    )

@@ -528,3 +528,40 @@ GO_FORBIDDEN = {
     ("goproj.app.UseChained", "CALLS", "goproj.shapes.Shape.Area"),
     ("goproj.app.UseLocal", "CALLS", "goproj.shapes.Shape.Area"),
 }
+
+
+# findings-analyzer fixture (plans/findings.py; reference
+# analyzers/ast_grep_analyzer.py): one program exercising a rule from
+# every category. Expected rows are (subj, pred, obj) with the
+# reference's finding-QN scheme module_qn.line.col.rule_id.
+FINDINGS_DOCS = [
+    _doc(
+        "fproj/app.py",
+        code(
+            "from os.path import *\n"
+            "import json\n"
+            "\n"
+            "API_TOKEN = 'abcd1234efgh'\n"
+            "\n"
+            "def make_widget():\n"
+            "    try:\n"
+            "        eval('1+1')\n"
+            "    except:\n"
+            "        pass\n"
+            "\n"
+            "def risky(items=[]):\n"
+            "    global count\n"
+            "    return items\n"
+        ),
+    ),
+]
+
+FINDINGS_EXPECTED = {
+    ("fproj.app", "HAS_SMELL", "fproj.app.1.0.wildcard_import"),
+    ("fproj.app", "HAS_VULNERABILITY", "fproj.app.4.4.hardcoded_secret"),
+    ("fproj.app", "IMPLEMENTS_PATTERN", "fproj.app.6.0.factory_function"),
+    ("fproj.app", "HAS_VULNERABILITY", "fproj.app.8.8.eval_call"),
+    ("fproj.app", "HAS_SMELL", "fproj.app.9.0.bare_except"),
+    ("fproj.app", "HAS_SMELL", "fproj.app.12.0.mutable_default_arg"),
+    ("fproj.app", "HAS_SMELL", "fproj.app.13.0.global_statement"),
+}

@@ -340,6 +340,15 @@ def assemble_graph(
             endpoint_edges(ent_scope, mentions),
         ]
 
+    # ---- findings capture group (off by default, like the reference's
+    # opt-in FINDINGS selection — analyzers/ast_grep_analyzer.py) ----
+    finding_nodes = None
+    if "findings" in groups:
+        from code_graph_rag_spark.plans.findings import finding_nodes_edges
+
+        finding_nodes, finding_e = finding_nodes_edges(mentions)
+        io_group = io_group + [finding_e]
+
     # ---- exports: __all__ symbols → Module EXPORTS Class/Function ----
     exports = (
         mentions.filter(F.col("kind") == "export")
@@ -479,8 +488,10 @@ def assemble_graph(
         .unionByName(_pad_nodes(ext_pkg_nodes))
         .unionByName(_pad_nodes(media_nodes))
         .unionByName(_pad_nodes(resource_nodes))
-        .dropDuplicates(["label", "id"])
     )
+    if finding_nodes is not None:
+        nodes = nodes.unionByName(_pad_nodes(finding_nodes))
+    nodes = nodes.dropDuplicates(["label", "id"])
     # nodes/edges trees are shallow once the fan-out frames above are
     # checkpointed → plain lazy persist (no extra materialization pass);
     # Catalyst cost stays bounded and the first caller action computes once.
