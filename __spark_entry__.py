@@ -236,7 +236,24 @@ def kg_exposes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "@router.route('/items', methods=['POST', 'PUT'])\n"
         "def change_item():\n"
         "    pass\n\n"
+        "def show_legacy(id):\n"
+        "    return id\n\n"
+        "def wire():\n"
+        "    app.add_url_rule('/legacy/<id>', view_func=show_legacy)\n\n"
         "app.include_router(router, prefix='/api')\n"
+    )
+    # Express-style call-registered routes through the jslite kernel
+    # (endpoint_routes.py shapes): named handler, inline handler (falls to
+    # the enclosing-callable rung), and a client request that must NOT
+    # register (the server-registration evidence gate)
+    js_src = (
+        "const app = express();\n"
+        "function getUser(req, res) { return res; }\n"
+        "function setup() {\n"
+        "  app.get('/users/:id', getUser);\n"
+        "  app.post('/orders', (req, res) => { return 1; });\n"
+        "  apiClient.get('/external');\n"
+        "}\n"
     )
     docs = spark.createDataFrame(
         [
@@ -245,7 +262,18 @@ def kg_exposes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spans": [
                     {"kind": "code", "text": src, "media_ref": "", "offset": 0}
                 ],
-            }
+            },
+            {
+                "doc_id": "svc/webapp.js",
+                "spans": [
+                    {
+                        "kind": "code",
+                        "text": js_src,
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            },
         ],
         schema=DOCUMENTS_SCHEMA,
     )
@@ -911,7 +939,10 @@ def _kg_oracles() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('svc.api.get_user', 'EXPOSES', 'endpoint::svc::GET /users/{id}'),
                 ('svc.api.change_item', 'EXPOSES', 'endpoint::svc::POST /api/items'),
-                ('svc.api.change_item', 'EXPOSES', 'endpoint::svc::PUT /api/items')
+                ('svc.api.change_item', 'EXPOSES', 'endpoint::svc::PUT /api/items'),
+                ('svc.api.show_legacy', 'EXPOSES', 'endpoint::svc::GET /legacy/<id>'),
+                ('svc.webapp.getUser', 'EXPOSES', 'endpoint::svc::GET /users/:id'),
+                ('svc.webapp.setup', 'EXPOSES', 'endpoint::svc::POST /orders')
             ) t(subj, pred, obj) ORDER BY subj, obj
         """,
         # hand-derived flow rows: key=os.getenv('TOKEN') taints consume's

@@ -80,6 +80,15 @@ _CHAIN_RE = re.compile(
 _CTOR_LIT_RE = re.compile(rf"(?<![\w.&])&({_DOTTED})\s*\{{")
 _PARAM_RE = re.compile(rf"^\s*({_ID})\s+\.{{0,3}}\*?({_DOTTED})")
 _RET_FIRST_RE = re.compile(rf"\*?({_DOTTED})")
+# route-call registration (reference endpoint_routes.py Go shapes):
+# http.HandleFunc("/p", h) incl. Go 1.22 "GET /p" patterns, and
+# echo/gin/chi verb methods e.GET("/p", h); the handler may be an
+# attribute expression (wrapper.GetMe — the generated oapi shape)
+_ROUTE_CALL_RE = re.compile(
+    rf"(?<![\w.])({_DOTTED})\.(HandleFunc|Handle|GET|POST|PUT|PATCH|DELETE"
+    rf"|OPTIONS|HEAD|Get|Post|Put|Patch|Delete)\s*\(\s*"
+    rf'"((?:[A-Z]+ )?/[^"]*)"\s*,\s*({_DOTTED})'
+)
 
 
 def _module_qn_for(doc_id: str) -> str:
@@ -423,6 +432,28 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     "callee": lm.group(1),
                     "is_ret": ret_stmt,
                     "_stack": list(c_qns),
+                }
+            )
+        for rcm in _ROUTE_CALL_RE.finditer(lit_line):
+            rc_caller, _q = _ctx_at(rcm.start())
+            verb = rcm.group(2)
+            call_rows.append(
+                {
+                    "kind": "route_call",
+                    "name": rcm.group(4).split(".")[-1],
+                    "local_name": (
+                        "any"
+                        if verb in ("HandleFunc", "Handle")
+                        else verb.lower()
+                    ),
+                    "parent_qn": rc_caller.qn,
+                    "parent_kind": rc_caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": rcm.start(),
+                    "callee": f"{rcm.group(1)}.{verb}",
+                    "arg0_lit": rcm.group(3),
+                    "is_ret": False,
+                    "_stack": [],
                 }
             )
         for chm in _CHAIN_RE.finditer(line):

@@ -104,6 +104,15 @@ _MOUNT_RE = re.compile(
 )
 _VAR_ARG_RE = re.compile(rf"^\s*({_ID})\s*$")
 _CALL_ARG_RE = re.compile(rf"^\s*(?:await\s+)?(?:new\s+)?({_DOTTED})\s*\(")
+# Express-style route-call registration: app.get('/p', handler) — the
+# second arg must LOOK like a handler (identifier / function / arrow), so
+# a client request with a config object (axios.get('/u', {..})) is never
+# a route (reference endpoint_routes.py server-registration evidence gate)
+_ROUTE_CALL_RE = re.compile(
+    rf"(?<![\w$.])({_ID})\s*\.\s*"
+    r"(get|post|put|patch|delete|options|head|all)\s*\(\s*"
+    rf"['\"`](/[^'\"`]*)['\"`]\s*,\s*(?:(?:async\s+)?(?:function\b|\()|({_ID}))"
+)
 
 
 def _matching_paren(line: str, open_pos: int) -> int:
@@ -721,6 +730,24 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     "arg0_lit": mm2.group(1),
                 }
             )
+        for rcm in _ROUTE_CALL_RE.finditer(lit_line):
+            rc_caller, _c, _q = _ctx_at(rcm.start())
+            call_rows.append(
+                {
+                    "kind": "route_call",
+                    "name": rcm.group(4),  # None for inline handlers
+                    "local_name": rcm.group(2),
+                    "parent_qn": rc_caller.qn,
+                    "parent_kind": rc_caller.kind.capitalize(),
+                    "start_line": line_no,
+                    "start_col": rcm.start(),
+                    "callee": f"{rcm.group(1)}.{rcm.group(2)}",
+                    "arg0_lit": rcm.group(3),
+                    "_stack": [],
+                    "_cls": None,
+                }
+            )
+
         rm = _RETURN_NEW_RE.search(line)
         if rm:
             r_caller, _c, _q = _ctx_at(rm.start())

@@ -95,7 +95,7 @@ def _media_rows(spans: list, module_qn: str) -> list[dict]:
 # mention kinds consumed ONLY by the io capture group (plans/flow.py
 # assignment-taint / per-argument flow, plans/endpoints.py mount prefixes).
 # `returns` is NOT here: the chained-return resolution rung (core) needs it.
-_IO_ONLY_KINDS = frozenset({"assign", "argflow", "mount"})
+_IO_ONLY_KINDS = frozenset({"assign", "argflow", "mount", "route_call"})
 
 
 def _extract_batches(

@@ -912,6 +912,45 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                             "_class_qn": None,
                         }
                     )
+            # ---- route-call registrations: app.add_url_rule('/p',
+            # view_func=fn) / router.add_api_route('/p', fn, methods=[..])
+            # (reference endpoint_routes.py call-registered routes) ----
+            if (
+                callee.split(".")[-1] in ("add_url_rule", "add_api_route")
+                and close != -1
+                and arg0
+                and arg0.startswith("/")
+            ):
+                argtext = line[cm.end() : close]
+                hm = re.search(r"(?:view_func|endpoint)\s*=\s*(\w+)", argtext)
+                handler = hm.group(1) if hm else None
+                if handler is None:
+                    parts_a = _split_top_level(argtext)
+                    if len(parts_a) > 1:
+                        pv = _VAR_ARG_RE.match(parts_a[1])
+                        handler = pv.group(1) if pv else None
+                # methods kwarg from the literal-preserving line: the
+                # stripped line has the string contents blanked
+                mk = re.search(
+                    r"methods\s*=\s*[\[(]([^\])]*)[\])]",
+                    lit_line[cm.end() : close],
+                )
+                call_rows.append(
+                    {
+                        "kind": "route_call",
+                        "name": handler,
+                        "local_name": "route",
+                        "target": mk.group(1) if mk else None,
+                        "parent_qn": caller.qn,
+                        "parent_kind": caller.kind.capitalize(),
+                        "start_line": line_no,
+                        "start_col": cm.start(1),
+                        "callee": callee,
+                        "arg0_lit": arg0,
+                        "_caller_stack": [],
+                        "_class_qn": None,
+                    }
+                )
         # chained call on a call result: Expr(...).m() — receiver type is
         # "class Expr" or "return type of Expr" (call_resolver.py:833-850);
         # the downstream type rung arbitrates, and a dotted callee can never

@@ -330,7 +330,10 @@ def assemble_graph(
     # gated here so default builds never pay the sink/flow/endpoint joins ----
     io_group = []
     if "io" in groups:
-        from code_graph_rag_spark.plans.endpoints import endpoint_edges
+        from code_graph_rag_spark.plans.endpoints import (
+            endpoint_edges,
+            route_call_edges,
+        )
         from code_graph_rag_spark.plans.flow import arg_flow_edges
 
         io_group = [
@@ -338,6 +341,7 @@ def assemble_graph(
             flow_edges(resolved),
             arg_flow_edges(mentions, resolved, alias),
             endpoint_edges(ent_scope, mentions),
+            route_call_edges(ent_scope, mentions),
         ]
 
     # ---- findings capture group (off by default, like the reference's

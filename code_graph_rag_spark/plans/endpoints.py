@@ -121,6 +121,12 @@ def endpoint_edges(entities: DataFrame, mentions: DataFrame) -> DataFrame:
         F.concat(F.coalesce("m_prefix", F.lit("")), F.col("path")).alias("full_path"),
     )
 
+    return _to_exposes(prefixed)
+
+
+def _to_exposes(prefixed: DataFrame) -> DataFrame:
+    """(subj, subj_label, src_doc, project, method, full_path) → EXPOSES
+    edge rows with the shared endpoint-resource id scheme."""
     return prefixed.select(
         "subj",
         F.lit("EXPOSES").alias("pred"),
@@ -142,3 +148,134 @@ def endpoint_edges(entities: DataFrame, mentions: DataFrame) -> DataFrame:
         ).alias("props"),
         "src_doc",
     ).dropDuplicates(["subj", "obj", "src_doc"])
+
+
+def route_call_edges(entities: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Call-registered routes → EXPOSES edges (reference
+    ``endpoint_routes.py``, issue #886 shapes): Express verb calls
+    ``app.get('/p', handler)``, Flask/FastAPI ``add_url_rule`` /
+    ``add_api_route``, Go ``http.HandleFunc("/p", h)`` (incl. Go 1.22
+    ``"GET /p"`` patterns) and echo/gin/chi verb methods.
+
+    The kernels emit one ``route_call`` mention per registration
+    (``local_name`` = verb | ``route`` | ``any``, ``arg0_lit`` = path,
+    ``name`` = handler identifier or null for inline handlers, ``target``
+    = raw methods kwarg). Attribution ladder (endpoint_routes.py): a
+    named handler must resolve to a module Function/Method (inner join —
+    the server-registration evidence gate: an identifier that is NOT a
+    module function, e.g. a client config object, yields nothing); an
+    inline handler attributes to the registering call's enclosing
+    callable, else the module.
+    """
+    rc = mentions.filter(F.col("kind") == "route_call").select(
+        "module_qn",
+        F.col("doc_id").alias("src_doc"),
+        "name",
+        "local_name",
+        "target",
+        "parent_qn",
+        "parent_kind",
+        F.col("arg0_lit").alias("raw_path"),
+        F.element_at(F.split("module_qn", "\\."), 1).alias("project"),
+        F.split(F.col("callee"), "\\.").getItem(0).alias("receiver"),
+    )
+    # Go 1.22 "VERB /path" patterns carry the method inside the literal
+    p_verb = F.regexp_extract("raw_path", r"^([A-Z]+) (/.*)$", 1)
+    p_path = F.regexp_extract("raw_path", r"^([A-Z]+) (/.*)$", 2)
+    path = F.when(p_verb != "", p_path).otherwise(F.col("raw_path"))
+    methods = (
+        F.when(
+            F.col("local_name") == "route",
+            F.when(
+                F.col("target").isNotNull() & (F.col("target") != ""),
+                F.expr(
+                    "transform(filter(split(regexp_replace(target,"
+                    " '[\\'\"\\\\s]', ''), ','), x -> x <> ''), x -> upper(x))"
+                ),
+            ).otherwise(F.array(F.lit("GET"))),
+        )
+        .when(
+            F.col("local_name") == "any",
+            F.array(F.when(p_verb != "", p_verb).otherwise(F.lit("ANY"))),
+        )
+        .otherwise(F.array(F.upper("local_name")))
+    )
+    routed = rc.select(
+        "module_qn",
+        "src_doc",
+        "name",
+        "parent_qn",
+        "parent_kind",
+        "project",
+        "receiver",
+        path.alias("path"),
+        F.explode(methods).alias("method"),
+    )
+
+    fns = entities.filter(
+        F.col("label").isin("Function", "Method")
+    ).select(
+        F.col("qn").alias("handler_qn"),
+        F.col("qualified_name").alias("handler_id"),
+        F.col("label").alias("handler_label"),
+    )
+    named = (
+        routed.filter(F.col("name").isNotNull())
+        .withColumn(
+            "handler_qn", F.concat_ws(".", "module_qn", "name")
+        )
+        .join(fns, "handler_qn")  # inner: the evidence gate
+        .select(
+            F.col("handler_id").alias("subj"),
+            F.col("handler_label").alias("subj_label"),
+            "src_doc",
+            "project",
+            "method",
+            "path",
+            "receiver",
+        )
+    )
+    unnamed = routed.filter(F.col("name").isNull()).select(
+        F.when(
+            F.col("parent_kind").isin("Function", "Method"),
+            F.col("parent_qn"),
+        )
+        .otherwise(F.col("module_qn"))
+        .alias("subj"),
+        F.when(
+            F.col("parent_kind").isin("Function", "Method"),
+            F.col("parent_kind"),
+        )
+        .otherwise(F.lit("Module"))
+        .alias("subj_label"),
+        "src_doc",
+        "project",
+        "method",
+        "path",
+        "receiver",
+    )
+    all_routes = named.unionByName(unnamed)
+
+    # sub-router mount prefixes apply to call-registered routes exactly as
+    # to decorator routes (the receiver variable is the join key)
+    mounts = (
+        mentions.filter(
+            (F.col("kind") == "mount") & F.col("arg0_lit").isNotNull()
+        )
+        .select(
+            F.col("name").alias("receiver"),
+            F.col("arg0_lit").alias("m_prefix"),
+        )
+        .dropDuplicates(["receiver"])
+    )
+    prefixed = all_routes.join(F.broadcast(mounts), "receiver", "left").select(
+        "subj",
+        "subj_label",
+        "src_doc",
+        "project",
+        "method",
+        F.concat(F.coalesce("m_prefix", F.lit("")), F.col("path")).alias(
+            "full_path"
+        ),
+    )
+    return _to_exposes(prefixed)

@@ -154,3 +154,88 @@ def test_untainted_arg_no_edge(flow_graph):
     assert not any(
         s == "taint.app.clean" and k == "arg" for s, _o, _v, k in flows
     )
+
+
+# ---- route-call registrations (endpoint_routes.py shapes) ----
+
+
+@pytest.fixture(scope="module")
+def route_call_graph(spark):
+    py_src = (
+        "def show_user(id):\n"
+        "    return id\n\n"
+        "def wire(app, router):\n"
+        "    app.add_url_rule('/users/<id>', view_func=show_user)\n"
+        "    router.add_api_route('/items', change_item, methods=['POST'])\n"
+    )
+    js_src = (
+        "const app = express();\n"
+        "function getUser(req, res) { return res; }\n"
+        "function setup() {\n"
+        "  app.get('/users/:id', getUser);\n"
+        "  app.post('/orders', (req, res) => { return 1; });\n"
+        "  apiClient.get('/external');\n"
+        "  axios.get('/cfg', {timeout: 5});\n"
+        "}\n"
+    )
+    go_src = (
+        "package main\n\n"
+        'import "net/http"\n\n'
+        "func HandleRoot(w int, r int) {}\n\n"
+        "func Setup() {\n"
+        '\thttp.HandleFunc("/root", HandleRoot)\n'
+        '\thttp.HandleFunc("GET /v2", HandleRoot)\n'
+        "}\n"
+    )
+    from code_graph_rag_spark.pipeline import build_graph
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "rsvc/reg.py", "spans": [{"kind": "code", "text": py_src, "media_ref": "", "offset": 0}]},
+            {"doc_id": "rsvc/web.js", "spans": [{"kind": "code", "text": js_src, "media_ref": "", "offset": 0}]},
+            {"doc_id": "rsvc/gw/main.go", "spans": [{"kind": "code", "text": go_src, "media_ref": "", "offset": 0}]},
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    yield g
+    g.unpersist()
+
+
+def _exposes(g):
+    return {
+        (r.subj, r.obj)
+        for r in g.edges.filter(F.col("pred") == "EXPOSES").collect()
+    }
+
+
+def test_route_call_named_handler(route_call_graph):
+    got = _exposes(route_call_graph)
+    assert ("rsvc.reg.show_user", "endpoint::rsvc::GET /users/<id>") in got
+    assert ("rsvc.web.getUser", "endpoint::rsvc::GET /users/:id") in got
+
+
+def test_route_call_inline_handler_falls_to_enclosing(route_call_graph):
+    got = _exposes(route_call_graph)
+    assert ("rsvc.web.setup", "endpoint::rsvc::POST /orders") in got
+
+
+def test_route_call_evidence_gate(route_call_graph):
+    """Client requests and unresolvable handlers register nothing:
+    apiClient.get has no handler arg, axios.get('/cfg', {..}) has a config
+    object, and change_item is not defined in the module."""
+    got = _exposes(route_call_graph)
+    objs = {o for _s, o in got}
+    assert "endpoint::rsvc::GET /external" not in objs
+    assert "endpoint::rsvc::GET /cfg" not in objs
+    assert not any("/items" in o for o in objs)
+
+
+def test_route_call_go_handlefunc(route_call_graph):
+    got = _exposes(route_call_graph)
+    assert (
+        "rsvc.gw.main.HandleRoot",
+        "endpoint::rsvc::ANY /root",
+    ) in got
+    # Go 1.22 "GET /v2" pattern carries its own verb
+    assert ("rsvc.gw.main.HandleRoot", "endpoint::rsvc::GET /v2") in got
