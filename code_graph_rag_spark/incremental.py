@@ -176,6 +176,7 @@ def blast_radius(
     # bring their other qns — expand to a bounded fixpoint.
     affected = affected.localCheckpoint(eager=True)
     defs = spliced.filter(F.col("kind").isin(*_DEF_KINDS))
+    converged = False
     for _ in range(3):
         aff_qns = (
             defs.join(affected, "doc_id", "left_semi")
@@ -190,9 +191,31 @@ def blast_radius(
             .localCheckpoint(eager=True)
         )
         if sharers.isEmpty():
+            converged = True
             break
         affected = affected.unionByName(sharers).distinct().localCheckpoint(
             eager=True
+        )
+    if not converged:
+        # the bounded fixpoint did not drain: without a fallback a scoped
+        # rebuild could silently diverge from a full rebuild (remaining
+        # sharers' variant windows would re-mint from a partial set). The
+        # qn-sharing closure can never exceed {docs defining a qn that
+        # more than one doc defines}, so folding ALL of those in is a
+        # one-shot, provably-safe over-approximation.
+        dup_qns = (
+            defs.groupBy("qn")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") > 1)
+            .select("qn")
+        )
+        dup_docs = (
+            defs.join(dup_qns, "qn", "left_semi").select("doc_id").distinct()
+        )
+        affected = (
+            affected.unionByName(dup_docs)
+            .distinct()
+            .localCheckpoint(eager=True)
         )
     return affected
 

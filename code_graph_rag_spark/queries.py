@@ -51,36 +51,82 @@ def reachable(
     return visited
 
 
-def dead_code(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+# decorators whose presence roots a definition (the runtime/framework
+# invokes it with no visible call site) — the reference's default list,
+# constants/deadcode_roots.py:20-57 DEFAULT_ROOT_DECORATORS
+ROOT_DECORATORS = (
+    "route", "get", "post", "callback", "put", "delete", "patch",
+    "websocket", "task", "flow", "fixture", "command", "cli", "app",
+    "on_event", "listener", "validator", "field_validator",
+    "model_validator", "root_validator", "field_serializer",
+    "model_serializer", "computed_field", "abstractmethod", "property",
+    "cached_property", "classproperty", "hybrid_property", "setter",
+    "deleter",
+)
+# matches a decorator whose normalized head (last dotted segment before
+# the argument list) is one of the root names, inside the props JSON:
+# `"@app.get('/x')"` / `"@property"` — the name must be followed by `(`
+# or the closing quote, so `@get_config` never matches `get`
+_ROOT_DEC_RE = r'(?i)["@.](' + "|".join(ROOT_DECORATORS) + r')[("\\]'
+_TEST_PATH_RE = r"(^|/)tests?(/|_)|_test\.\w+$"
+
+
+def dead_code(
+    nodes: DataFrame, edges: DataFrame, include_tests: bool = False
+) -> DataFrame:
     """Unreachable Function/Method nodes.
 
-    Roots (dead_code.py:65-200 root selection, mapped to our schema):
-    module top-level code (Module nodes — module-level calls originate
-    there), dunder-named and decorated definitions, test-path symbols,
-    entry-point ``main`` functions, and exported symbols (``__all__`` —
-    a public API is alive even without an internal caller).
+    Root selection mirrors the reference (``dead_code.py:470-620``):
+
+    * module top-level code — Module nodes as BFS sources is exactly the
+      reference's "targets of Module-origin CALLS/REFERENCES/INSTANTIATES
+      edges" rule, since those edges are the only reach-predicates leaving
+      a Module;
+    * definitions carrying a ROOT decorator (the reference's
+      ``DEFAULT_ROOT_DECORATORS`` — NOT every decorated symbol);
+    * dunder METHODS in Python files (runtime-invoked by name);
+    * Go ``main``/``init`` and Rust ``main`` runtime entry functions
+      (``GO_ROOT_FUNCTION_NAMES``/``RUST_ROOT_FUNCTION_NAMES``, gated by
+      extension — a Python ``main`` is only alive if something calls it);
+    * exported symbols (``__all__`` / Go capitalized: a public API is
+      alive without an internal caller).
+
+    Test symbols follow the reference's polarity: with
+    ``include_tests=False`` they are EXCLUDED from the report (test
+    helpers are infrastructure, not dead production code) and are not
+    roots — production code called only from tests stays reportable.
     """
-    dunder = F.col("name").rlike(r"^__.*__$")
-    decorated = F.col("props").isNotNull() & F.col("props").contains(
-        '"decorators"'
+    path = F.coalesce(F.col("path"), F.lit(""))
+    test_path = path.rlike(_TEST_PATH_RE)
+    root_decorated = F.coalesce(F.col("props"), F.lit("")).rlike(_ROOT_DEC_RE)
+    dunder_method = (
+        (F.col("label") == "Method")
+        & F.col("name").rlike(r"^__.*__$")
+        & path.endswith(".py")
     )
-    test_path = F.coalesce(F.col("path"), F.lit("")).rlike(r"(^|/)tests?(/|_)")
-    entry_point = (F.col("label") == "Function") & (F.col("name") == "main")
-    roots = nodes.filter(
+    entry_point = (F.col("label") == "Function") & (
+        (F.col("name").isin("main", "init") & path.endswith(".go"))
+        | ((F.col("name") == "main") & path.endswith(".rs"))
+    )
+    root_filter = (
         (F.col("label") == "Module")
-        | dunder
-        | decorated
-        | test_path
+        | root_decorated
+        | dunder_method
         | entry_point
-    ).select("id")
+    )
+    if not include_tests:
+        root_filter = root_filter & ~test_path
+    roots = nodes.filter(root_filter).select("id")
     exported = edges.filter(F.col("pred") == "EXPORTS").select(
         F.col("obj").alias("id")
     )
     roots = roots.unionByName(exported).distinct()
     alive = reachable(edges, roots)
+    report = nodes.filter(F.col("label").isin("Function", "Method"))
+    if not include_tests:
+        report = report.filter(~test_path)
     return (
-        nodes.filter(F.col("label").isin("Function", "Method"))
-        .join(alive, nodes["id"] == alive["id"], "left_anti")
+        report.join(alive, report["id"] == alive["id"], "left_anti")
         .select("label", "id", "name", "path")
         .orderBy("id")
     )

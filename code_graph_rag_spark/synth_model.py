@@ -243,12 +243,20 @@ def synth_expected_dead_code(
     root set over REACH_PREDS with OVERRIDES revival, then unreachable
     Function/Method rows (label, id, name, path) sorted by id."""
     nodes, edges = synth_expected_graph(n_docs, funcs_per_doc, pkg_fanout)
-    # roots: Module nodes; dunder / decorated / test-path / main / exported
-    # don't occur in the synth corpus, but apply the dunder rule anyway
+    # roots (mirroring queries.dead_code's tightened reference-parity
+    # selection): Module nodes; dunder METHODS / root decorators /
+    # go-rust entry fns / exported symbols don't occur in the synth
+    # corpus, but apply the dunder-method rule anyway
     roots = {
         nid
-        for (label, nid, name, _path) in nodes
-        if label == "Module" or (name.startswith("__") and name.endswith("__"))
+        for (label, nid, name, path) in nodes
+        if label == "Module"
+        or (
+            label == "Method"
+            and name.startswith("__")
+            and name.endswith("__")
+            and (path or "").endswith(".py")
+        )
     }
     adj: dict[str, set[str]] = {}
     for subj, pred, obj, _sl, _ol in edges:

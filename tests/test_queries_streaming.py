@@ -10,9 +10,9 @@ import pytest
 
 
 def test_dead_code(spark):
-    """Reachability starts at Module nodes (module-level code), dunder,
-    decorated and test symbols — callees of live code survive, the rest is
-    dead (reference dead_code.py root selection)."""
+    """Reachability roots mirror the reference's selection (module-level
+    call origins + ROOT decorators + runtime-invoked names) — NOT every
+    decorated or test symbol (dead_code.py:470-620)."""
     from code_graph_rag_spark.pipeline import build_graph
     from code_graph_rag_spark.queries import dead_code
     from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
@@ -23,8 +23,13 @@ def test_dead_code(spark):
         "def helper():\n    pass\n\n"
         "def unused():\n    also_unused()\n\n"
         "def also_unused():\n    pass\n\n"
-        "@entrypoint\ndef decorated_root():\n    pass\n\n"
+        "@app.route('/x')\ndef decorated_root():\n    pass\n\n"
+        "@entrypoint\ndef decorated_not_root():\n    pass\n\n"
         "main()\n"  # module-level call → main is reachable from the Module
+    )
+    test_src = (
+        "def test_widget():\n    prod_helper()\n\n"
+        "def prod_helper():\n    pass\n"
     )
     docs = spark.createDataFrame(
         [
@@ -33,7 +38,18 @@ def test_dead_code(spark):
                 "spans": [
                     {"kind": "code", "text": src, "media_ref": "", "offset": 0}
                 ],
-            }
+            },
+            {
+                "doc_id": "dc/tests/test_app.py",
+                "spans": [
+                    {
+                        "kind": "code",
+                        "text": test_src,
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            },
         ],
         schema=DOCUMENTS_SCHEMA,
     )
@@ -42,9 +58,22 @@ def test_dead_code(spark):
     assert "dc.app.main" not in dead  # module-level call roots it
     assert "dc.app.work" not in dead
     assert "dc.app.helper" not in dead  # transitively alive
-    assert "dc.app.decorated_root" not in dead  # decorator root
+    assert "dc.app.decorated_root" not in dead  # ROOT-list decorator
+    # a non-root decorator does NOT root (the reference's root_decorators
+    # list, not "any decorator" — the tightened rule this test pins)
+    assert "dc.app.decorated_not_root" in dead
     assert "dc.app.unused" in dead
     assert "dc.app.also_unused" in dead  # only called from dead code
+    # test symbols are excluded from the REPORT, not rooted
+    assert not any(i.startswith("dc.tests.") for i in dead)
+    dead_with_tests = {
+        r.id
+        for r in dead_code(g.nodes, g.edges, include_tests=True).collect()
+    }
+    # with tests included, the test module's top-level... has no top-level
+    # call, so the un-called test fn reports dead; its callee stays alive
+    # only through it — both report nothing only if a runner roots them
+    assert "dc.tests.test_app.test_widget" in dead_with_tests
     g.unpersist()
 
 
