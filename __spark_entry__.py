@@ -405,6 +405,26 @@ def kg_go_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_build(spark, GO_DOCS)
 
 
+def kg_lua_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lua language tier end-to-end (parsers/lua/ analogue): table-as-class
+    with colon methods, require-binding imports, the constructor
+    return-setmetatable pattern through the fn-return hop, return-table
+    exports."""
+    from code_graph_rag_spark.fixtures_lang import LUA_DOCS
+
+    return _lang_build(spark, LUA_DOCS)
+
+
+def kg_cs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C# language tier end-to-end (parsers/csharp/ analogue): Allman
+    braces, file-scoped namespaces, single base list splitting
+    INHERITS/IMPLEMENTS on the resolved label, using-namespace imports
+    verifying to the Package, the unique-simple-name receiver rung."""
+    from code_graph_rag_spark.fixtures_lang import CS_DOCS
+
+    return _lang_build(spark, CS_DOCS)
+
+
 def kg_rust_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rust language tier end-to-end (parsers/rs/ analogue): use-imports
     with crate anchoring, impl blocks attach methods to the struct, trait
@@ -750,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_java_build": kg_java_build,
         "kg_rust_build": kg_rust_build,
         "kg_go_build": kg_go_build,
+        "kg_lua_build": kg_lua_build,
+        "kg_cs_build": kg_cs_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -960,6 +982,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
         "kg_go_build": _lang_build_sql(_FL.GO_EXPECTED),
+        "kg_lua_build": _lang_build_sql(_FL.LUA_EXPECTED),
+        "kg_cs_build": _lang_build_sql(_FL.CS_EXPECTED),
         "kg_findings": """
             SELECT * FROM (VALUES
                 """

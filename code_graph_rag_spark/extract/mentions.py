@@ -30,12 +30,16 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     """Language dispatch: extension → per-language kernel (the Spark analogue
     of the reference's ``language_spec.py`` registry). Both kernels emit the
     SAME mention IR, so everything downstream is language-agnostic."""
+    from code_graph_rag_spark.extract.cslite import CSHARP_EXTENSIONS
+    from code_graph_rag_spark.extract.cslite import parse_document as _parse_cs
     from code_graph_rag_spark.extract.golite import GO_EXTENSIONS
     from code_graph_rag_spark.extract.golite import parse_document as _parse_go
     from code_graph_rag_spark.extract.javalite import JAVA_EXTENSIONS
     from code_graph_rag_spark.extract.javalite import parse_document as _parse_java
     from code_graph_rag_spark.extract.jslite import JS_EXTENSIONS
     from code_graph_rag_spark.extract.jslite import parse_document as _parse_js
+    from code_graph_rag_spark.extract.lualite import LUA_EXTENSIONS
+    from code_graph_rag_spark.extract.lualite import parse_document as _parse_lua
     from code_graph_rag_spark.extract.pylite import doc_extension
     from code_graph_rag_spark.extract.rustlite import RUST_EXTENSIONS
     from code_graph_rag_spark.extract.rustlite import parse_document as _parse_rs
@@ -49,6 +53,10 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
         return _parse_rs(doc_id, text)
     if ext in GO_EXTENSIONS:
         return _parse_go(doc_id, text)
+    if ext in CSHARP_EXTENSIONS:
+        return _parse_cs(doc_id, text)
+    if ext in LUA_EXTENSIONS:
+        return _parse_lua(doc_id, text)
     return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}

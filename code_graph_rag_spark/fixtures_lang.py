@@ -565,3 +565,237 @@ FINDINGS_EXPECTED = {
     ("fproj.app", "HAS_SMELL", "fproj.app.12.0.mutable_default_arg"),
     ("fproj.app", "HAS_SMELL", "fproj.app.13.0.global_statement"),
 }
+
+
+LUA_DOCS = [
+    _doc(
+        "lproj/shapes.lua",
+        code(
+            "local Circle = {}\n"
+            "Circle.__index = Circle\n\n"
+            "function Circle.new(r)\n"
+            "    return setmetatable({}, Circle)\n"
+            "end\n\n"
+            "function Circle:area()\n"
+            "    return 3\n"
+            "end\n\n"
+            "function Circle:grow()\n"
+            "    self:area()\n"
+            "end\n\n"
+            "local function helper()\n"
+            "    return 1\n"
+            "end\n\n"
+            "function top()\n"
+            "    helper()\n"
+            "end\n\n"
+            "return Circle\n"
+        ),
+    ),
+    _doc(
+        "lproj/app.lua",
+        code(
+            'local shapes = require("lproj.shapes")\n\n'
+            "local function use_local()\n"
+            "    local c = shapes.Circle.new(2)\n"
+            "    c:area()\n"
+            "    c:grow()\n"
+            "end\n\n"
+            "local function make()\n"
+            "    return shapes.Circle.new(1)\n"
+            "end\n"
+        ),
+    ),
+]
+
+LUA_EXPECTED = {
+    # defines: table-as-class + methods, module functions
+    ("lproj.shapes", "DEFINES", "lproj.shapes.Circle"),
+    ("lproj.shapes", "DEFINES", "lproj.shapes.helper"),
+    ("lproj.shapes", "DEFINES", "lproj.shapes.top"),
+    ("lproj.shapes.Circle", "DEFINES_METHOD", "lproj.shapes.Circle.new"),
+    ("lproj.shapes.Circle", "DEFINES_METHOD", "lproj.shapes.Circle.area"),
+    ("lproj.shapes.Circle", "DEFINES_METHOD", "lproj.shapes.Circle.grow"),
+    ("lproj.app", "DEFINES", "lproj.app.use_local"),
+    ("lproj.app", "DEFINES", "lproj.app.make"),
+    # require → IMPORTS
+    ("lproj.app", "IMPORTS", "lproj.shapes"),
+    # return M → EXPORTS
+    ("lproj.shapes", "EXPORTS", "lproj.shapes.Circle"),
+    # calls: require-bound alias rung, self dispatch, fn-return hop
+    ("lproj.shapes.Circle.grow", "CALLS", "lproj.shapes.Circle.area"),
+    ("lproj.shapes.top", "CALLS", "lproj.shapes.helper"),
+    ("lproj.app.use_local", "CALLS", "lproj.shapes.Circle.new"),
+    ("lproj.app.use_local", "CALLS", "lproj.shapes.Circle.area"),
+    ("lproj.app.use_local", "CALLS", "lproj.shapes.Circle.grow"),
+    ("lproj.app.make", "CALLS", "lproj.shapes.Circle.new"),
+}
+
+LUA_FORBIDDEN = {
+    # the def header must never read as a self-call
+    ("lproj.shapes.Circle.new", "CALLS", "lproj.shapes.Circle.new"),
+}
+
+
+CS_DOCS = [
+    _doc(
+        "CsProj/Shapes/IRender.cs",
+        code(
+            "namespace CsProj.Shapes;\n\n"
+            "public interface IRender\n"
+            "{\n"
+            "    void Render();\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "CsProj/Shapes/Shape.cs",
+        code(
+            "namespace CsProj.Shapes;\n\n"
+            "public class Shape\n"
+            "{\n"
+            "    public double Area()\n"
+            "    {\n"
+            "        return 0;\n"
+            "    }\n"
+            "    public Shape Ident() => this;\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "CsProj/Shapes/Circle.cs",
+        code(
+            "namespace CsProj.Shapes;\n\n"
+            "public class Circle : Shape\n"
+            "{\n"
+            "    public override double Area()\n"
+            "    {\n"
+            "        return 3;\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "CsProj/App/App.cs",
+        code(
+            "namespace CsProj.App;\n\n"
+            "using CsProj.Shapes;\n\n"
+            "public class App : IRender\n"
+            "{\n"
+            "    public Circle Make()\n"
+            "    {\n"
+            "        return new Circle();\n"
+            "    }\n"
+            "    public void UseLocal()\n"
+            "    {\n"
+            "        Circle c = new Circle();\n"
+            "        c.Area();\n"
+            "        c.Ident();\n"
+            "    }\n"
+            "    public void UseParam(Shape s)\n"
+            "    {\n"
+            "        s.Area();\n"
+            "    }\n"
+            "    public void UseChained()\n"
+            "    {\n"
+            "        Make().Area();\n"
+            "    }\n"
+            "    public void Render()\n"
+            "    {\n"
+            "    }\n"
+            "}\n"
+        ),
+    ),
+]
+
+CS_EXPECTED = {
+    # defines
+    ("CsProj.Shapes.IRender", "DEFINES", "CsProj.Shapes.IRender.IRender"),
+    ("CsProj.Shapes.Shape", "DEFINES", "CsProj.Shapes.Shape.Shape"),
+    ("CsProj.Shapes.Circle", "DEFINES", "CsProj.Shapes.Circle.Circle"),
+    ("CsProj.App.App", "DEFINES", "CsProj.App.App.App"),
+    (
+        "CsProj.Shapes.IRender.IRender",
+        "DEFINES_METHOD",
+        "CsProj.Shapes.IRender.IRender.Render",
+    ),
+    (
+        "CsProj.Shapes.Shape.Shape",
+        "DEFINES_METHOD",
+        "CsProj.Shapes.Shape.Shape.Area",
+    ),
+    (
+        "CsProj.Shapes.Shape.Shape",
+        "DEFINES_METHOD",
+        "CsProj.Shapes.Shape.Shape.Ident",
+    ),
+    (
+        "CsProj.Shapes.Circle.Circle",
+        "DEFINES_METHOD",
+        "CsProj.Shapes.Circle.Circle.Area",
+    ),
+    ("CsProj.App.App.App", "DEFINES_METHOD", "CsProj.App.App.App.Make"),
+    ("CsProj.App.App.App", "DEFINES_METHOD", "CsProj.App.App.App.UseLocal"),
+    ("CsProj.App.App.App", "DEFINES_METHOD", "CsProj.App.App.App.UseParam"),
+    (
+        "CsProj.App.App.App",
+        "DEFINES_METHOD",
+        "CsProj.App.App.App.UseChained",
+    ),
+    ("CsProj.App.App.App", "DEFINES_METHOD", "CsProj.App.App.App.Render"),
+    # using-namespace → IMPORTS the internal Package
+    ("CsProj.App.App", "IMPORTS", "CsProj.Shapes"),
+    # inheritance: unique-simple-name rung resolves cross-file bases;
+    # IMPLEMENTS splits on the resolved Interface label
+    (
+        "CsProj.Shapes.Circle.Circle",
+        "INHERITS",
+        "CsProj.Shapes.Shape.Shape",
+    ),
+    ("CsProj.App.App.App", "IMPLEMENTS", "CsProj.Shapes.IRender.IRender"),
+    (
+        "CsProj.Shapes.Circle.Circle.Area",
+        "OVERRIDES",
+        "CsProj.Shapes.Shape.Shape.Area",
+    ),
+    (
+        "CsProj.App.App.App.Render",
+        "OVERRIDES",
+        "CsProj.Shapes.IRender.IRender.Render",
+    ),
+    # calls/instantiations: unique-name ctor + typed receivers + chained
+    ("CsProj.App.App.App.Make", "INSTANTIATES", "CsProj.Shapes.Circle.Circle"),
+    (
+        "CsProj.App.App.App.UseLocal",
+        "INSTANTIATES",
+        "CsProj.Shapes.Circle.Circle",
+    ),
+    (
+        "CsProj.App.App.App.UseLocal",
+        "CALLS",
+        "CsProj.Shapes.Circle.Circle.Area",
+    ),
+    (
+        "CsProj.App.App.App.UseLocal",
+        "CALLS",
+        "CsProj.Shapes.Shape.Shape.Ident",
+    ),
+    (
+        "CsProj.App.App.App.UseParam",
+        "CALLS",
+        "CsProj.Shapes.Shape.Shape.Area",
+    ),
+    ("CsProj.App.App.App.UseChained", "CALLS", "CsProj.App.App.App.Make"),
+    (
+        "CsProj.App.App.App.UseChained",
+        "CALLS",
+        "CsProj.Shapes.Circle.Circle.Area",
+    ),
+}
+
+CS_FORBIDDEN = {
+    # typed receiver must prefer Circle's Area over Shape's
+    ("CsProj.App.App.App.UseLocal", "CALLS", "CsProj.Shapes.Shape.Shape.Area"),
+    ("CsProj.App.App.App.UseChained", "CALLS", "CsProj.Shapes.Shape.Shape.Area"),
+    # param typed Shape must not bind Circle's Area
+    ("CsProj.App.App.App.UseParam", "CALLS", "CsProj.Shapes.Circle.Circle.Area"),
+}

@@ -281,16 +281,42 @@ def resolve_receiver_classes(
         F.col("label").isin("Function", "Method")
     ).select(F.col("qn").alias("f_qn")).distinct()
 
+    # unique-simple-name class index (the reference's registry simple-name
+    # lookup with unique-match gate, function_registry.py
+    # _simple_name_lookup): what makes C# `using Namespace;` + bare type
+    # names resolve cross-file. Uniqueness keeps hub names out.
+    uniq_classes = (
+        entities.filter(F.col("label").isin("Class", "Interface", "Enum"))
+        .groupBy(F.col("name").alias("u_expr"))
+        .agg(
+            F.countDistinct("qn").alias("n_cls"),
+            F.min("qn").alias("u_cls"),
+        )
+        .filter(F.col("n_cls") == 1)
+        .select("u_expr", "u_cls")
+    )
+
     # function → returned-class facts (from `return Ctor()` and `-> Ann`)
     rets = mentions.filter(F.col("kind") == "returns").select(
         "module_qn",
         F.col("parent_qn").alias("f_qn"),
         F.col("callee").alias("expr"),
     )
+    ret_exprs = rets.select("module_qn", "expr").distinct()
     ret_res = (
-        _expr_candidates(rets.select("module_qn", "expr").distinct(), alias)
+        _expr_candidates(ret_exprs, alias)
         .join(classes, F.col("cand_qn") == classes["cls_qn"])
         .select("module_qn", "expr", "cls_qn", "rung")
+        .unionByName(
+            ret_exprs.filter(~F.col("expr").contains("."))
+            .join(uniq_classes, F.col("expr") == F.col("u_expr"))
+            .select(
+                "module_qn",
+                "expr",
+                F.col("u_cls").alias("cls_qn"),
+                F.lit(3).alias("rung"),
+            )
+        )
     )
     fn_returns = (
         rets.join(ret_res, ["module_qn", "expr"])
@@ -326,11 +352,24 @@ def resolve_receiver_classes(
             F.lit(2).alias("path"),
         )
     )
+    # unique-simple-name rung for receivers (same gate as above)
+    via_unique = (
+        recv.filter(~F.col("expr").contains("."))
+        .join(uniq_classes, F.col("expr") == F.col("u_expr"))
+        .select(
+            "module_qn",
+            "expr",
+            F.col("u_cls").alias("cls_qn"),
+            F.lit(3).alias("rung"),
+            F.lit(3).alias("path"),
+        )
+    )
     w = Window.partitionBy("module_qn", "expr").orderBy(
         "path", "rung", "cls_qn"
     )
     return (
         direct.unionByName(via_fn)
+        .unionByName(via_unique)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("module_qn", "expr", F.col("cls_qn").alias("recv_cls"))

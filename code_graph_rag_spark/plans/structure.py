@@ -66,14 +66,17 @@ def structure_pass(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # package detection: directory has an index file directly inside, or
-    # directly contains a .java file (Java packages ARE directories — the
-    # reference's package semantics, import_processor.py:2160-2166: external
-    # Java imports point package-level; internally the package is the
-    # dotted-dir node class-imports verify against)
+    # directly contains a .java/.cs/.go file (Java packages and C#
+    # namespace dirs ARE directories, and Go's import unit is the
+    # directory — reference import_processor.py:2160-2166,2612-2640,
+    # parsers/go/module_paths.py: the dotted-dir Package node is what
+    # class-imports / using-directives / dir-imports verify against)
     index_dirs = (
         files.filter(
             F.col("name").isin(*INDEX_FILES)
             | F.col("name").endswith(".java")
+            | F.col("name").endswith(".cs")
+            | F.col("name").endswith(".go")
         )
         .select(F.col("dir").alias("path"))
         .distinct()

@@ -49,28 +49,9 @@ def test_resolution_stats_counts_drops(polyglot_graph):
     assert call.n_resolved > 0
 
 
-def test_dead_code_exported_roots(spark):
-    """__all__-exported symbols are roots: a public API with no internal
-    caller is alive (dead_code.py exported-symbol roots)."""
-    from code_graph_rag_spark.pipeline import build_graph
-    from code_graph_rag_spark.queries import dead_code
-    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
-
-    src = (
-        "__all__ = ['api']\n\n"
-        "def api():\n    pass\n\n"
-        "def internal_unused():\n    pass\n"
-    )
-    docs = spark.createDataFrame(
-        [{"doc_id": "pub/lib.py",
-          "spans": [{"kind": "code", "text": src, "media_ref": "", "offset": 0}]}],
-        schema=DOCUMENTS_SCHEMA,
-    )
-    g = build_graph(docs)
-    dead = {r.id for r in dead_code(g.nodes, g.edges).collect()}
-    assert "pub.lib.api" not in dead
-    assert "pub.lib.internal_unused" in dead
-    g.unpersist()
+# NOTE: the __all__-exported-roots dead-code case lives in
+# tests/test_queries_streaming.py::test_dead_code (folded into that
+# corpus so the suite builds one graph fewer).
 
 
 def test_reconcile_embeddings_cache_and_orphans(spark):

@@ -31,6 +31,13 @@ def test_dead_code(spark):
         "def test_widget():\n    prod_helper()\n\n"
         "def prod_helper():\n    pass\n"
     )
+    # __all__-exported symbols are roots: a public API with no internal
+    # caller is alive (dead_code.py exported-symbol roots)
+    pub_src = (
+        "__all__ = ['api']\n\n"
+        "def api():\n    pass\n\n"
+        "def internal_unused():\n    pass\n"
+    )
     docs = spark.createDataFrame(
         [
             {
@@ -45,6 +52,17 @@ def test_dead_code(spark):
                     {
                         "kind": "code",
                         "text": test_src,
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            },
+            {
+                "doc_id": "dc/lib.py",
+                "spans": [
+                    {
+                        "kind": "code",
+                        "text": pub_src,
                         "media_ref": "",
                         "offset": 0,
                     }
@@ -66,6 +84,9 @@ def test_dead_code(spark):
     assert "dc.app.also_unused" in dead  # only called from dead code
     # test symbols are excluded from the REPORT, not rooted
     assert not any(i.startswith("dc.tests.") for i in dead)
+    # __all__-exported public API is alive without an internal caller
+    assert "dc.lib.api" not in dead
+    assert "dc.lib.internal_unused" in dead
     dead_with_tests = {
         r.id
         for r in dead_code(g.nodes, g.edges, include_tests=True).collect()
