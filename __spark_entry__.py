@@ -405,6 +405,17 @@ def kg_go_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_build(spark, GO_DOCS)
 
 
+def kg_cpp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C++ language tier end-to-end (parsers/cpp/ analogue): the deferred
+    out-of-class method pass as joins (Ret Cls::name bodies bind to the
+    header's class across the basename-collision module split), header
+    declarations as entities, include resolution, pointer/auto/declared
+    receivers."""
+    from code_graph_rag_spark.fixtures_lang import CPP_DOCS
+
+    return _lang_build(spark, CPP_DOCS)
+
+
 def kg_lua_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lua language tier end-to-end (parsers/lua/ analogue): table-as-class
     with colon methods, require-binding imports, the constructor
@@ -772,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_go_build": kg_go_build,
         "kg_lua_build": kg_lua_build,
         "kg_cs_build": kg_cs_build,
+        "kg_cpp_build": kg_cpp_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -984,6 +996,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_go_build": _lang_build_sql(_FL.GO_EXPECTED),
         "kg_lua_build": _lang_build_sql(_FL.LUA_EXPECTED),
         "kg_cs_build": _lang_build_sql(_FL.CS_EXPECTED),
+        "kg_cpp_build": _lang_build_sql(_FL.CPP_EXPECTED),
         "kg_findings": """
             SELECT * FROM (VALUES
                 """

@@ -30,6 +30,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     """Language dispatch: extension → per-language kernel (the Spark analogue
     of the reference's ``language_spec.py`` registry). Both kernels emit the
     SAME mention IR, so everything downstream is language-agnostic."""
+    from code_graph_rag_spark.extract.cpplite import CPP_EXTENSIONS
+    from code_graph_rag_spark.extract.cpplite import parse_document as _parse_cpp
     from code_graph_rag_spark.extract.cslite import CSHARP_EXTENSIONS
     from code_graph_rag_spark.extract.cslite import parse_document as _parse_cs
     from code_graph_rag_spark.extract.golite import GO_EXTENSIONS
@@ -57,6 +59,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
         return _parse_cs(doc_id, text)
     if ext in LUA_EXTENSIONS:
         return _parse_lua(doc_id, text)
+    if ext in CPP_EXTENSIONS:
+        return _parse_cpp(doc_id, text)
     return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}

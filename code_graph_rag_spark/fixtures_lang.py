@@ -799,3 +799,114 @@ CS_FORBIDDEN = {
     # param typed Shape must not bind Circle's Area
     ("CsProj.App.App.App.UseParam", "CALLS", "CsProj.Shapes.Circle.Circle.Area"),
 }
+
+
+CPP_DOCS = [
+    _doc(
+        "cpproj/shapes.h",
+        code(
+            "#pragma once\n\n"
+            "class Shape {\n"
+            "public:\n"
+            "    virtual double area();\n"
+            "    Shape* ident();\n"
+            "};\n\n"
+            "class Circle : public Shape {\n"
+            "public:\n"
+            "    double area() override;\n"
+            "    void grow();\n"
+            "};\n"
+        ),
+    ),
+    _doc(
+        "cpproj/shapes.cpp",
+        code(
+            '#include "cpproj/shapes.h"\n'
+            "#include <vector>\n\n"
+            "double Circle::area() {\n"
+            "    return 3;\n"
+            "}\n\n"
+            "void Circle::grow() {\n"
+            "    this->area();\n"
+            "}\n\n"
+            "Circle* make() {\n"
+            "    return new Circle();\n"
+            "}\n\n"
+            "void use_local() {\n"
+            "    Circle c;\n"
+            "    c.area();\n"
+            "    Circle* p = new Circle();\n"
+            "    p->grow();\n"
+            "}\n\n"
+            "void use_auto() {\n"
+            "    auto q = make();\n"
+            "    q->area();\n"
+            "}\n\n"
+            "void use_param(Shape* s) {\n"
+            "    s->area();\n"
+            "}\n"
+        ),
+    ),
+]
+
+CPP_EXPECTED = {
+    # defines: the .cpp keeps the plain module qn (first in doc order);
+    # the colliding header becomes cpproj.shapes.h (disambiguate_modules)
+    ("cpproj.shapes", "DEFINES", "cpproj.shapes.make"),
+    ("cpproj.shapes", "DEFINES", "cpproj.shapes.use_auto"),
+    ("cpproj.shapes", "DEFINES", "cpproj.shapes.use_local"),
+    ("cpproj.shapes", "DEFINES", "cpproj.shapes.use_param"),
+    ("cpproj.shapes.h", "DEFINES", "cpproj.shapes.h.Circle"),
+    ("cpproj.shapes.h", "DEFINES", "cpproj.shapes.h.Shape"),
+    # header declarations ARE the method entities
+    (
+        "cpproj.shapes.h.Circle",
+        "DEFINES_METHOD",
+        "cpproj.shapes.h.Circle.area",
+    ),
+    (
+        "cpproj.shapes.h.Circle",
+        "DEFINES_METHOD",
+        "cpproj.shapes.h.Circle.grow",
+    ),
+    (
+        "cpproj.shapes.h.Shape",
+        "DEFINES_METHOD",
+        "cpproj.shapes.h.Shape.area",
+    ),
+    (
+        "cpproj.shapes.h.Shape",
+        "DEFINES_METHOD",
+        "cpproj.shapes.h.Shape.ident",
+    ),
+    # includes: quoted → internal module (extension-form ref), <> → external
+    ("cpproj.shapes", "IMPORTS", "cpproj.shapes.h"),
+    ("cpproj.shapes", "IMPORTS", "external::vector"),
+    ("cpproj.shapes.h.Circle", "INHERITS", "cpproj.shapes.h.Shape"),
+    (
+        "cpproj.shapes.h.Circle.area",
+        "OVERRIDES",
+        "cpproj.shapes.h.Shape.area",
+    ),
+    # the deferred out-of-class pass: Circle::grow's this->area() binds
+    # across the file boundary
+    (
+        "cpproj.shapes.h.Circle.grow",
+        "CALLS",
+        "cpproj.shapes.h.Circle.area",
+    ),
+    ("cpproj.shapes.make", "INSTANTIATES", "cpproj.shapes.h.Circle"),
+    ("cpproj.shapes.use_local", "INSTANTIATES", "cpproj.shapes.h.Circle"),
+    ("cpproj.shapes.use_local", "CALLS", "cpproj.shapes.h.Circle.area"),
+    ("cpproj.shapes.use_local", "CALLS", "cpproj.shapes.h.Circle.grow"),
+    ("cpproj.shapes.use_auto", "CALLS", "cpproj.shapes.make"),
+    ("cpproj.shapes.use_auto", "CALLS", "cpproj.shapes.h.Circle.area"),
+    ("cpproj.shapes.use_param", "CALLS", "cpproj.shapes.h.Shape.area"),
+}
+
+CPP_FORBIDDEN = {
+    # pointer receiver typed *Shape must never bind Circle's method
+    ("cpproj.shapes.use_param", "CALLS", "cpproj.shapes.h.Circle.area"),
+    # the out-of-class impls must NOT mint duplicate provisional entities
+    ("cpproj.shapes.Circle", "DEFINES_METHOD", "cpproj.shapes.Circle.area"),
+}

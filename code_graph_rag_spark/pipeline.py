@@ -204,6 +204,14 @@ def build_graph_from_mentions(
     (collision window over all module QNs).
     """
     mentions = _materialize(disambiguate_modules(raw_mentions), "mentions")
+    # deferred C++ out-of-class binding (no-op unless method_impl rows
+    # exist — the isEmpty probe is one cheap scan of the checkpointed
+    # frame); the rewritten frame fans out again, so re-materialize
+    from code_graph_rag_spark.plans.cpp_impl import bind_method_impls
+
+    bound = bind_method_impls(mentions)
+    if bound is not mentions:
+        mentions = _materialize(bound, "mentions_cpp_bound")
     entities = _materialize(mint_entities(mentions), "entities")
     return assemble_graph(mentions, entities, groups=groups)
 

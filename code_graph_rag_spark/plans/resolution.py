@@ -85,7 +85,65 @@ def resolve_import_targets(refs: DataFrame, modules: DataFrame) -> DataFrame:
         .filter(F.col("n_match") == 1)
         .select("project", "ref", "mqn", F.lit(3).alias("prio"))
     )
-    cands = exact.unionByName(prefixed).unionByName(suffix)
+    # collision-suffixed modules: basename collisions append the file
+    # extension to the later module's qn (disambiguate_modules, reference
+    # definition_processor.py:259-269) — `#include "a/shapes.h"` written
+    # as ref `a.shapes` must still verify when the header's module became
+    # `a.shapes.h`. Equi-join on the qn-minus-last-segment, gated to
+    # extension-shaped remainders.
+    ext_mods = mods.select(
+        "mqn",
+        F.expr(
+            "substring(mqn, 1, length(mqn) - instr(reverse(mqn), '.'))"
+        ).alias("m_parent"),
+        F.col("m_last"),
+    ).filter(
+        F.col("m_last").isin(
+            "h", "hh", "hpp", "hxx", "c", "cc", "cpp", "cxx", "py", "js",
+            "ts", "jsx", "tsx", "mjs", "cjs", "rs", "go", "java", "cs",
+            "lua",
+        )
+    )
+    ext_suffixed = (
+        base.join(ext_mods, base["ref"] == ext_mods["m_parent"])
+        .withColumn(
+            "n_match", F.count("*").over(Window.partitionBy("project", "ref"))
+        )
+        .filter(F.col("n_match") == 1)
+        .select("project", "ref", "mqn", F.lit(4).alias("prio"))
+    )
+    # the reverse case: the REF carries an extension segment (C++
+    # `#include "a/shapes.h"` emitted verbatim) but the module kept the
+    # plain qn (no basename collision) — strip the extension-shaped last
+    # segment and try exact/prefixed again
+    _EXTS = (
+        "h", "hh", "hpp", "hxx", "c", "cc", "cpp", "cxx", "py", "js",
+        "ts", "jsx", "tsx", "mjs", "cjs", "rs", "go", "java", "cs", "lua",
+    )
+    stripped_refs = base.filter(F.col("ref_last").isin(*_EXTS)).select(
+        "project",
+        "ref",
+        F.expr(
+            "substring(ref, 1, length(ref) - instr(reverse(ref), '.'))"
+        ).alias("ref_stem"),
+    )
+    ext_stripped = (
+        stripped_refs.join(bmods, F.col("ref_stem") == mods["mqn"])
+        .select("project", "ref", "mqn", F.lit(5).alias("prio"))
+        .unionByName(
+            stripped_refs.join(
+                bmods,
+                F.concat_ws(".", F.col("project"), F.col("ref_stem"))
+                == mods["mqn"],
+            ).select("project", "ref", "mqn", F.lit(6).alias("prio"))
+        )
+    )
+    cands = (
+        exact.unionByName(prefixed)
+        .unionByName(suffix)
+        .unionByName(ext_suffixed)
+        .unionByName(ext_stripped)
+    )
     w = Window.partitionBy("project", "ref").orderBy("prio", "mqn")
     return (
         cands.withColumn("rk", F.row_number().over(w))
