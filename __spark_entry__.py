@@ -405,6 +405,15 @@ def kg_go_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_build(spark, GO_DOCS)
 
 
+def kg_dart_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dart language tier end-to-end (parsers/dart/ analogue): package-URI
+    imports, extends/implements fan-out with label-resolved split, Dart 2+
+    new-less constructor calls, expression-bodied members."""
+    from code_graph_rag_spark.fixtures_lang import DART_DOCS
+
+    return _lang_build(spark, DART_DOCS)
+
+
 def kg_cpp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C++ language tier end-to-end (parsers/cpp/ analogue): the deferred
     out-of-class method pass as joins (Ret Cls::name bodies bind to the
@@ -784,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lua_build": kg_lua_build,
         "kg_cs_build": kg_cs_build,
         "kg_cpp_build": kg_cpp_build,
+        "kg_dart_build": kg_dart_build,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -997,6 +1007,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_lua_build": _lang_build_sql(_FL.LUA_EXPECTED),
         "kg_cs_build": _lang_build_sql(_FL.CS_EXPECTED),
         "kg_cpp_build": _lang_build_sql(_FL.CPP_EXPECTED),
+        "kg_dart_build": _lang_build_sql(_FL.DART_EXPECTED),
         "kg_findings": """
             SELECT * FROM (VALUES
                 """

@@ -34,6 +34,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     from code_graph_rag_spark.extract.cpplite import parse_document as _parse_cpp
     from code_graph_rag_spark.extract.cslite import CSHARP_EXTENSIONS
     from code_graph_rag_spark.extract.cslite import parse_document as _parse_cs
+    from code_graph_rag_spark.extract.dartlite import DART_EXTENSIONS
+    from code_graph_rag_spark.extract.dartlite import parse_document as _parse_dart
     from code_graph_rag_spark.extract.golite import GO_EXTENSIONS
     from code_graph_rag_spark.extract.golite import parse_document as _parse_go
     from code_graph_rag_spark.extract.javalite import JAVA_EXTENSIONS
@@ -61,6 +63,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
         return _parse_lua(doc_id, text)
     if ext in CPP_EXTENSIONS:
         return _parse_cpp(doc_id, text)
+    if ext in DART_EXTENSIONS:
+        return _parse_dart(doc_id, text)
     return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}

@@ -910,3 +910,91 @@ CPP_FORBIDDEN = {
     # the out-of-class impls must NOT mint duplicate provisional entities
     ("cpproj.shapes.Circle", "DEFINES_METHOD", "cpproj.shapes.Circle.area"),
 }
+
+
+DART_DOCS = [
+    _doc(
+        "dproj/shapes.dart",
+        code(
+            "abstract class IRender {\n"
+            "  void render();\n"
+            "}\n\n"
+            "class Shape {\n"
+            "  double area() {\n"
+            "    return 0;\n"
+            "  }\n"
+            "  Shape ident() => this;\n"
+            "}\n\n"
+            "class Circle extends Shape implements IRender {\n"
+            "  @override\n"
+            "  double area() => 3;\n"
+            "  void render() {}\n"
+            "  void grow() {\n"
+            "    this.area();\n"
+            "  }\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "dproj/app.dart",
+        code(
+            "import 'package:dproj/shapes.dart';\n\n"
+            "Circle make() {\n"
+            "  return Circle();\n"
+            "}\n\n"
+            "void useLocal() {\n"
+            "  final c = Circle();\n"
+            "  c.area();\n"
+            "  c.ident();\n"
+            "}\n\n"
+            "void useParam(Shape s) {\n"
+            "  s.area();\n"
+            "}\n\n"
+            "void useChained() {\n"
+            "  make().area();\n"
+            "}\n"
+        ),
+    ),
+]
+
+DART_EXPECTED = {
+    # defines
+    ("dproj.shapes", "DEFINES", "dproj.shapes.IRender"),
+    ("dproj.shapes", "DEFINES", "dproj.shapes.Shape"),
+    ("dproj.shapes", "DEFINES", "dproj.shapes.Circle"),
+    ("dproj.app", "DEFINES", "dproj.app.make"),
+    ("dproj.app", "DEFINES", "dproj.app.useLocal"),
+    ("dproj.app", "DEFINES", "dproj.app.useParam"),
+    ("dproj.app", "DEFINES", "dproj.app.useChained"),
+    ("dproj.shapes.IRender", "DEFINES_METHOD", "dproj.shapes.IRender.render"),
+    ("dproj.shapes.Shape", "DEFINES_METHOD", "dproj.shapes.Shape.area"),
+    ("dproj.shapes.Shape", "DEFINES_METHOD", "dproj.shapes.Shape.ident"),
+    ("dproj.shapes.Circle", "DEFINES_METHOD", "dproj.shapes.Circle.area"),
+    ("dproj.shapes.Circle", "DEFINES_METHOD", "dproj.shapes.Circle.render"),
+    ("dproj.shapes.Circle", "DEFINES_METHOD", "dproj.shapes.Circle.grow"),
+    # package import
+    ("dproj.app", "IMPORTS", "dproj.shapes"),
+    # extends → INHERITS; implements targets a CLASS here (abstract class,
+    # Dart has no interface keyword) — the resolved label decides, so this
+    # stays INHERITS-labeled... no: abstract class parses as `class` kind,
+    # so both bases resolve to Class labels → both INHERITS
+    ("dproj.shapes.Circle", "INHERITS", "dproj.shapes.Shape"),
+    ("dproj.shapes.Circle", "INHERITS", "dproj.shapes.IRender"),
+    ("dproj.shapes.Circle.area", "OVERRIDES", "dproj.shapes.Shape.area"),
+    ("dproj.shapes.Circle.render", "OVERRIDES", "dproj.shapes.IRender.render"),
+    # Dart 2+ ctor calls (no `new`)
+    ("dproj.app.make", "INSTANTIATES", "dproj.shapes.Circle"),
+    ("dproj.app.useLocal", "INSTANTIATES", "dproj.shapes.Circle"),
+    # typed receivers + chained
+    ("dproj.app.useLocal", "CALLS", "dproj.shapes.Circle.area"),
+    ("dproj.app.useLocal", "CALLS", "dproj.shapes.Shape.ident"),
+    ("dproj.app.useParam", "CALLS", "dproj.shapes.Shape.area"),
+    ("dproj.app.useChained", "CALLS", "dproj.app.make"),
+    ("dproj.app.useChained", "CALLS", "dproj.shapes.Circle.area"),
+    ("dproj.shapes.Circle.grow", "CALLS", "dproj.shapes.Circle.area"),
+}
+
+DART_FORBIDDEN = {
+    ("dproj.app.useLocal", "CALLS", "dproj.shapes.Shape.area"),
+    ("dproj.app.useParam", "CALLS", "dproj.shapes.Circle.area"),
+}
