@@ -217,7 +217,7 @@ def main() -> None:
                 f"{str(Path(__file__).resolve().parent)!r}); "
                 "from bench import run_bench; "
                 f"print('LEG', json.dumps(run_bench({cores}, "
-                f"include_queries=False, kg_docs={sdocs}, runs={s_runs})))"
+                f"include_queries=False, kg_docs={sdocs}, runs=1)))"
             )
             p = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True
@@ -227,22 +227,36 @@ def main() -> None:
                     return json.loads(ln[4:])
             raise RuntimeError(p.stderr[-800:])
 
-        # per-leg MIN over repeats: on a steal-prone VM the min is the
-        # least-contaminated observation of each configuration
-        big = leg(CPUS)
-        small = leg(max(CPUS // 4, 1))
-        t_big = big["queries_min"]["kg_build"]
-        t_small = small["queries_min"]["kg_build"]
+        # ALTERNATING leg order with per-config MIN: running all of one
+        # config back-to-back bakes box-noise drift into the comparison
+        # (measured: a 32-core leg right after the main bench read 216 s
+        # vs 45 s isolated). Each leg is a fresh subprocess; the min is
+        # the least-contaminated observation of each configuration on a
+        # steal-prone VM.
+        small_cores = max(CPUS // 4, 1)
+        times: dict[int, list[float]] = {CPUS: [], small_cores: []}
+        n_triples_by: dict[int, int] = {}
+        for _ in range(s_runs):
+            for cores in (CPUS, small_cores):
+                r = leg(cores)
+                times[cores].append(r["queries_min"]["kg_build"])
+                n_triples_by[cores] = r["n_triples"]
+        t_big = min(times[CPUS])
+        t_small = min(times[small_cores])
         speedup = t_small / t_big
         out["scaling"] = {
             "kg_docs": sdocs,
             "runs_per_leg": s_runs,
-            "cores_small": small["cores"],
+            "leg_order": "alternating",
+            "cores_small": small_cores,
             "cores_large": CPUS,
             "kg_secs_small": t_small,
             "kg_secs_large": t_big,
-            "triples_per_sec_small": round(small["n_triples"] / t_small, 1),
-            "triples_per_sec_large": round(big["n_triples"] / t_big, 1),
+            "kg_secs_all": {str(k): v for k, v in times.items()},
+            "triples_per_sec_small": round(
+                n_triples_by[small_cores] / t_small, 1
+            ),
+            "triples_per_sec_large": round(n_triples_by[CPUS] / t_big, 1),
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
         }

@@ -41,6 +41,10 @@ KEYWORDS = frozenset(
     math io os coroutine debug self""".split()
 )
 
+# stdlib tables whose dotted calls must survive the noise filter: they are
+# keys of the IO sink registry (plans/io_flow.py — ref io_access registry)
+_SINK_ROOTS = frozenset({"io", "os"})
+
 _ID = r"[A-Za-z_]\w*"
 _DOTTED = rf"{_ID}(?:\.{_ID})*"
 
@@ -375,7 +379,13 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         for cm in _CALL_RE.finditer(line):
             callee = cm.group(1)
             first = callee.split(".")[0]
-            if first in KEYWORDS or any(
+            # stdlib tables are call-noise EXCEPT the io/os sink roots,
+            # whose dotted members feed the READS_FROM/WRITES_TO registry
+            # join (plans/io_flow.py); bare builtins stay suppressed
+            suppressed = first in KEYWORDS and not (
+                "." in callee and first in _SINK_ROOTS
+            )
+            if suppressed or any(
                 s0 <= cm.start(1) < e0 for s0, e0 in consumed
             ):
                 continue

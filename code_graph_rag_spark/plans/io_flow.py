@@ -20,10 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # (normalized callee, resource kind, declared direction, has_target_arg,
-# has_mode_arg) — the Python rows of the reference's io_access/registry.py
-# sink table. Only ``open`` takes a mode string; other sinks keep their
-# declared direction regardless of literal args.
+# has_mode_arg) — the reference's io_access/registry.py sink tables,
+# MERGED across languages: the kernels all emit dotted callees over one
+# mention IR, so one registry serves every tier (the reference keys its
+# per-language tables the same way and unions them per file extension).
+# Only Python ``open`` takes a mode string. Sinks whose callee text is
+# unambiguous across languages (fmt.Println, console.log, System.out.
+# println, os.Getenv vs os.getenv — Go exports are capitalized) coexist
+# in one table without language gating.
 IO_SINKS: list[tuple[str, str, str, bool, bool]] = [
+    # ---- Python (_PYTHON_SINKS) ----
     ("open", "file", "read", True, True),
     ("os.getenv", "env", "read", True, False),
     ("os.environ.get", "env", "read", True, False),
@@ -37,6 +43,93 @@ IO_SINKS: list[tuple[str, str, str, bool, bool]] = [
     ("requests.patch", "network", "write", True, False),
     ("requests.delete", "network", "write", True, False),
     ("urllib.request.urlopen", "network", "read", True, False),
+    # ---- JS/TS (_JS_TS_SINKS) ----
+    ("console.log", "stdout", "write", False, False),
+    ("console.info", "stdout", "write", False, False),
+    ("console.warn", "stderr", "write", False, False),
+    ("console.error", "stderr", "write", False, False),
+    ("fetch", "network", "read", True, False),
+    ("axios.get", "network", "read", True, False),
+    ("axios.head", "network", "read", True, False),
+    ("axios.post", "network", "write", True, False),
+    ("axios.put", "network", "write", True, False),
+    ("axios.patch", "network", "write", True, False),
+    ("axios.delete", "network", "write", True, False),
+    ("fs.readFile", "file", "read", True, False),
+    ("fs.readFileSync", "file", "read", True, False),
+    ("fs.writeFile", "file", "write", True, False),
+    ("fs.writeFileSync", "file", "write", True, False),
+    ("fs.appendFile", "file", "write", True, False),
+    ("fs.appendFileSync", "file", "write", True, False),
+    # ---- Go (_GO_SINKS; exported names are capitalized, no clash) ----
+    ("os.Getenv", "env", "read", True, False),
+    ("os.LookupEnv", "env", "read", True, False),
+    ("os.ReadFile", "file", "read", True, False),
+    ("os.Open", "file", "read", True, False),
+    ("os.WriteFile", "file", "write", True, False),
+    ("os.Create", "file", "write", True, False),
+    ("os.Remove", "file", "write", True, False),
+    ("fmt.Print", "stdout", "write", False, False),
+    ("fmt.Println", "stdout", "write", False, False),
+    ("fmt.Printf", "stdout", "write", False, False),
+    ("http.Get", "network", "read", True, False),
+    ("http.Post", "network", "write", True, False),
+    # ---- Java (_JAVA_SYSTEM_SINKS + Files) ----
+    ("System.getenv", "env", "read", True, False),
+    ("System.out.println", "stdout", "write", False, False),
+    ("System.out.print", "stdout", "write", False, False),
+    ("System.out.printf", "stdout", "write", False, False),
+    ("System.err.println", "stderr", "write", False, False),
+    ("System.err.print", "stderr", "write", False, False),
+    ("Files.readString", "file", "read", True, False),
+    ("Files.readAllBytes", "file", "read", True, False),
+    ("Files.readAllLines", "file", "read", True, False),
+    ("Files.writeString", "file", "write", True, False),
+    ("Files.write", "file", "write", True, False),
+    # ---- C# (_CSHARP_SINKS) ----
+    ("Console.WriteLine", "stdout", "write", False, False),
+    ("Console.Write", "stdout", "write", False, False),
+    ("Console.ReadLine", "stdin", "read", False, False),
+    ("Environment.GetEnvironmentVariable", "env", "read", True, False),
+    ("File.ReadAllText", "file", "read", True, False),
+    ("File.ReadAllLines", "file", "read", True, False),
+    ("File.ReadAllBytes", "file", "read", True, False),
+    ("File.WriteAllText", "file", "write", True, False),
+    ("File.WriteAllLines", "file", "write", True, False),
+    ("File.AppendAllText", "file", "write", True, False),
+    # ---- Rust (_RUST_SINKS; :: normalized to . by the kernel) ----
+    ("std.env.var", "env", "read", True, False),
+    ("env.var", "env", "read", True, False),
+    ("std.fs.read_to_string", "file", "read", True, False),
+    ("fs.read_to_string", "file", "read", True, False),
+    ("std.fs.read", "file", "read", True, False),
+    ("fs.read", "file", "read", True, False),
+    ("std.fs.write", "file", "write", True, False),
+    ("fs.write", "file", "write", True, False),
+    ("std.fs.remove_file", "file", "write", True, False),
+    ("fs.remove_file", "file", "write", True, False),
+    # println!/eprintln! are macros the call regex does not key; print
+    # functions via io are the registry rows (the reference keys the same)
+    ("std.io.stdin", "stdin", "read", False, False),
+    ("io.stdin", "stdin", "read", False, False),
+    # ---- C++ (_CPP_SINKS; :: normalized to . by the kernel) ----
+    ("std.getenv", "env", "read", True, False),
+    ("getenv", "env", "read", True, False),
+    ("std.fopen", "file", "read", True, True),
+    ("fopen", "file", "read", True, True),
+    ("std.printf", "stdout", "write", False, False),
+    ("printf", "stdout", "write", False, False),
+    ("std.fprintf", "file", "write", False, False),
+    ("fprintf", "file", "write", False, False),
+    # ---- Lua (os.getenv / print share the Python rows verbatim) ----
+    ("io.open", "file", "read", True, True),
+    ("io.read", "stdin", "read", False, False),
+    ("io.write", "stdout", "write", False, False),
+    # ---- Dart ----
+    ("File.readAsString", "file", "read", False, False),
+    ("File.writeAsString", "file", "write", False, False),
+    ("stdout.writeln", "stdout", "write", False, False),
+    ("stderr.writeln", "stderr", "write", False, False),
 ]
 
 DYNAMIC_TARGET = "<dynamic>"

@@ -69,3 +69,84 @@ def test_io_group_off_by_default(spark):
     preds = {r.pred for r in g.edges.select("pred").distinct().collect()}
     assert not preds & {"READS_FROM", "WRITES_TO", "FLOWS_TO"}
     g.unpersist()
+
+
+def test_io_sinks_multi_language(spark):
+    """The sink registry is language-merged (reference io_access/registry.py
+    unions per-language tables): JS fs/console, Go os/fmt, C++ fopen and
+    Lua io.open all emit READS_FROM/WRITES_TO through the ONE equi-join."""
+    from pyspark.sql import functions as F
+
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    def doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "code", "text": text, "media_ref": "", "offset": 0}
+            ],
+        }
+
+    docs = spark.createDataFrame(
+        [
+            doc(
+                "mio/app.js",
+                "function run() {\n"
+                "  fs.readFileSync('cfg.json');\n"
+                "  console.log('hi');\n"
+                "}\n",
+            ),
+            doc(
+                "mio/tool/tool.go",
+                "package tool\n\n"
+                "func Run() {\n"
+                '\tos.Getenv("HOME")\n'
+                '\tfmt.Println("hi")\n'
+                "}\n",
+            ),
+            doc(
+                "mio/native.cpp",
+                "void run() {\n"
+                '    fopen("data.bin", "rb");\n'
+                "}\n",
+            ),
+            doc(
+                "mio/script.lua",
+                "local function run()\n"
+                "    io.open('notes.txt')\n"
+                "end\n",
+            ),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    try:
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in g.edges.filter(
+                F.col("pred").isin("READS_FROM", "WRITES_TO")
+            ).collect()
+        }
+        assert ("mio.app.run", "READS_FROM", "resource::file::cfg.json") in got or (
+            "mio.app.run",
+            "READS_FROM",
+            "resource::file::<dynamic>",
+        ) in got
+        assert ("mio.app.run", "WRITES_TO", "resource::stdout::stdout") in got
+        assert any(
+            s == "mio.tool.Run" and o.startswith("resource::env::") for s, _p, o in got
+        )
+        assert ("mio.tool.Run", "WRITES_TO", "resource::stdout::stdout") in got
+        assert any(
+            s == "mio.native.run" and o.startswith("resource::file::")
+            for s, p, o in got
+            if p == "READS_FROM"
+        )
+        assert any(
+            s == "mio.script.run" and o.startswith("resource::file::")
+            for s, p, o in got
+            if p == "READS_FROM"
+        )
+    finally:
+        g.unpersist()
