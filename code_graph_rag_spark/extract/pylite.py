@@ -82,8 +82,23 @@ MANIFEST_FILES = {
     "package.json": "package_json",
     "go.mod": "gomod",
     "Cargo.toml": "cargo",
+    "Gemfile": "gemfile",
+    "composer.json": "composer",
+    "pubspec.yaml": "pubspec",
+    # *.csproj matches by suffix in parse_document (any project name)
 }
 _GOMOD_REQ_RE = re.compile(r"^\s*(?:require\s+)?([\w./\-]+)\s+(v[\w.\-+]+)")
+# Gemfile `gem "name", "~> 1.0"` (reference dependency_parser.py GemfileParser)
+_GEMFILE_RE = re.compile(
+    r"""gem\s+["']([^"']+)["'](?:\s*,\s*["']([^"']+)["'])?"""
+)
+# .csproj `<PackageReference Include="X" Version="Y" />` (CsprojParser; the
+# reference uses an XML walk — attribute order is Include-first in practice
+# and both orders are matched here)
+_CSPROJ_RE = re.compile(
+    r"""<PackageReference\s+(?:Include="([^"]+)"(?:\s+Version="([^"]*)")?"""
+    r"""|Version="([^"]*)"\s+Include="([^"]+)")"""
+)
 _CARGO_DEP_RE = re.compile(
     r'^\s*([A-Za-z_][\w\-]*)\s*=\s*(?:"([^"]*)"'
     r'|\{[^}]*version\s*=\s*"([^"]*)")'
@@ -365,10 +380,66 @@ def _parse_manifest(doc_id: str, text: str, flavor: str) -> list[dict]:
     """Dependency manifests → ``dependency`` mentions (name, version prop)."""
     project = doc_id.split("/")[0]
     out: list[dict] = []
-    in_dep_block = flavor != "package_json"
+
+    def dep(idx: int, name: str, spec: str) -> dict:
+        return {
+            "kind": "dependency",
+            "name": name,
+            "parent_qn": project,
+            "parent_kind": "Project",
+            "start_line": idx + 1,
+            "props": json.dumps({"version_spec": spec or ""}),
+        }
+
+    in_dep_block = flavor not in ("package_json", "composer")
+    # pubspec block-entry indent: packages sit at the FIRST entry's indent;
+    # deeper lines are a nested block's keys (sdk:/git:/path:) and skip
+    # (reference dependency_parser.py PubspecYamlParser)
+    pubspec_entry_indent: int | None = None
     for idx, raw in enumerate(text.split("\n")):
         line = raw.strip()
         if not line or line.startswith(("#", "//")):
+            continue
+        if flavor == "gemfile":
+            if line.startswith("gem "):
+                m = _GEMFILE_RE.match(line)
+                if m:
+                    out.append(dep(idx, m.group(1), m.group(2)))
+            continue
+        if flavor == "csproj":
+            for m in _CSPROJ_RE.finditer(line):
+                name = m.group(1) or m.group(4)
+                if name:
+                    out.append(dep(idx, name, m.group(2) or m.group(3)))
+            continue
+        if flavor == "composer":
+            # require / require-dev maps, php pseudo-package excluded
+            if line.startswith(('"require"', '"require-dev"')):
+                in_dep_block = True
+                continue
+            if line.startswith(("}", "]")):
+                in_dep_block = False
+                continue
+            m = _PKGJSON_DEP_RE.match(line)
+            if in_dep_block and m and m.group(1) != "php":
+                out.append(dep(idx, m.group(1), m.group(2)))
+            continue
+        if flavor == "pubspec":
+            indent = len(raw) - len(raw.lstrip())
+            if indent == 0:
+                key = line.split(":", 1)[0]
+                in_dep_block = key in ("dependencies", "dev_dependencies")
+                pubspec_entry_indent = None
+                continue
+            if not in_dep_block or ":" not in line:
+                continue
+            if pubspec_entry_indent is None:
+                pubspec_entry_indent = indent
+            if indent != pubspec_entry_indent:
+                continue
+            name, _, spec = line.partition(":")
+            if name.strip():
+                out.append(dep(idx, name.strip(), spec.strip()))
             continue
         if flavor == "package_json":
             if line.startswith('"dependencies"') or line.startswith(
@@ -464,6 +535,9 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         # 451-478, parsers/dependency_parser.py): no Module node, only
         # dependency mentions → Project DEPENDS_ON_EXTERNAL ExternalPackage
         return _parse_manifest(doc_id, code_text, MANIFEST_FILES[basename])
+    if basename.endswith(".csproj"):
+        # any project name matches (reference parse_dependencies suffix arm)
+        return _parse_manifest(doc_id, code_text, "csproj")
 
     module_qn, project = module_qn_for(doc_id)
     is_index = _is_index_doc(doc_id)

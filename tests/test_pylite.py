@@ -113,3 +113,96 @@ def test_references_only_for_local_defs():
 def test_determinism():
     src = "def a():\n    b()\n\ndef b():\n    pass\n"
     assert parse_document("p/x.py", src) == parse_document("p/x.py", src)
+
+
+def test_gemfile_manifest_dependencies():
+    from code_graph_rag_spark.extract.pylite import parse_document
+
+    src = (
+        'source "https://rubygems.org"\n\n'
+        'gem "rails", "~> 7.1"\n'
+        'gem "puma"\n'
+        "group :development do\n"
+        '  gem "rspec-rails", "6.1.0"\n'
+        "end\n"
+    )
+    ms = parse_document("rbproj/Gemfile", src)
+    deps = {
+        (m["name"], __import__("json").loads(m["props"])["version_spec"])
+        for m in ms
+        if m["kind"] == "dependency"
+    }
+    assert deps == {
+        ("rails", "~> 7.1"),
+        ("puma", ""),
+        ("rspec-rails", "6.1.0"),
+    }
+
+
+def test_composer_manifest_dependencies():
+    from code_graph_rag_spark.extract.pylite import parse_document
+
+    src = (
+        "{\n"
+        '  "name": "acme/app",\n'
+        '  "require": {\n'
+        '    "php": ">=8.1",\n'
+        '    "monolog/monolog": "^3.0"\n'
+        "  },\n"
+        '  "require-dev": {\n'
+        '    "phpunit/phpunit": "^10"\n'
+        "  }\n"
+        "}\n"
+    )
+    ms = parse_document("phpproj/composer.json", src)
+    deps = {m["name"] for m in ms if m["kind"] == "dependency"}
+    # php pseudo-package excluded (reference ComposerJsonParser)
+    assert deps == {"monolog/monolog", "phpunit/phpunit"}
+
+
+def test_csproj_manifest_dependencies():
+    from code_graph_rag_spark.extract.pylite import parse_document
+
+    src = (
+        '<Project Sdk="Microsoft.NET.Sdk">\n'
+        "  <ItemGroup>\n"
+        '    <PackageReference Include="Newtonsoft.Json" Version="13.0.3" />\n'
+        '    <PackageReference Version="8.0.0" Include="Serilog" />\n'
+        '    <ProjectReference Include="../Lib/Lib.csproj" />\n'
+        "  </ItemGroup>\n"
+        "</Project>\n"
+    )
+    ms = parse_document("csproj1/App.csproj", src)
+    deps = {
+        (m["name"], __import__("json").loads(m["props"])["version_spec"])
+        for m in ms
+        if m["kind"] == "dependency"
+    }
+    # ProjectReference is not a package dependency (reference CsprojParser
+    # iterates PackageReference only)
+    assert deps == {("Newtonsoft.Json", "13.0.3"), ("Serilog", "8.0.0")}
+
+
+def test_pubspec_manifest_dependencies():
+    from code_graph_rag_spark.extract.pylite import parse_document
+
+    src = (
+        "name: dartproj\n"
+        "environment:\n"
+        "  sdk: ^3.0.0\n"
+        "dependencies:\n"
+        "  http: ^1.2.0\n"
+        "  flutter:\n"
+        "    sdk: flutter\n"
+        "dev_dependencies:\n"
+        "  test: ^1.24.0\n"
+    )
+    ms = parse_document("dartproj/pubspec.yaml", src)
+    deps = {
+        (m["name"], __import__("json").loads(m["props"])["version_spec"])
+        for m in ms
+        if m["kind"] == "dependency"
+    }
+    # nested block keys (sdk: flutter) are skipped; the parent key is
+    # recorded name-only (reference PubspecYamlParser indent rule)
+    assert deps == {("http", "^1.2.0"), ("flutter", ""), ("test", "^1.24.0")}
