@@ -377,6 +377,42 @@ def kg_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC exposure family (opt-in ``io`` capture group): connect-style
+    handler wiring → impl-method EXPOSES, and generated-client calls →
+    READ_WRITE sinks, meeting on one resource::RPC node (reference
+    parsers/rpc_exposure.py + io_access/processor.py RPC arm)."""
+    from code_graph_rag_spark.fixtures_lang import RPC_DOCS
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(RPC_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return (
+        g.edges.filter(F.col("obj").startswith("resource::RPC::"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def kg_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract linking (opt-in ``io`` group): .proto service blocks and
+    OpenAPI specs become CONTRACT resources; live RPC artefacts resolve by
+    the bare <Service>.<Method> key and endpoints by method + template
+    match (reference parsers/contracts.py + contract_linking.py)."""
+    from code_graph_rag_spark.fixtures_lang import CONTRACT_DOCS
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(CONTRACT_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return (
+        g.edges.filter(F.col("obj").contains("::CONTRACT::"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
     language-agnostic join phase (parsers/js_ts/ analogue)."""
@@ -786,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
         "kg_findings": kg_findings,
+        "kg_rpc": kg_rpc,
+        "kg_contracts": kg_contracts,
         "kg_js_build": kg_js_build,
         "kg_java_build": kg_java_build,
         "kg_rust_build": kg_rust_build,
@@ -1014,6 +1052,25 @@ def _kg_oracles() -> dict[str, str]:
         + ",\n                ".join(
             f"('{s}', '{p}', '{o}')"
             for s, p, o in sorted(_FL.FINDINGS_EXPECTED)
+        )
+        + """
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
+        """,
+        "kg_rpc": """
+            SELECT * FROM (VALUES
+                """
+        + ",\n                ".join(
+            f"('{s}', '{p}', '{o}')" for s, p, o in sorted(_FL.RPC_EXPECTED)
+        )
+        + """
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
+        """,
+        "kg_contracts": """
+            SELECT * FROM (VALUES
+                """
+        + ",\n                ".join(
+            f"('{s}', '{p}', '{o}')"
+            for s, p, o in sorted(_FL.CONTRACT_EXPECTED)
         )
         + """
             ) t(subj, pred, obj) ORDER BY subj, pred, obj

@@ -78,6 +78,12 @@ _CHAIN_RE = re.compile(
     rf"(?<![\w.&])({_DOTTED})\s*\([^()]*\)\s*\.\s*({_ID})\s*\("
 )
 _CTOR_LIT_RE = re.compile(rf"(?<![\w.&])&({_DOTTED})\s*\{{")
+# connect-go handler wiring `pkgconnect.New<Stem>Handler(impl)`: the impl
+# type's exported methods EXPOSE resource::RPC::<Stem>.<Method> nodes
+# (reference parsers/rpc_exposure.py; the generated package name ends in
+# `connect` by codegen convention — io_access/processor.py:104-126)
+_RPC_HANDLER_RE = re.compile(r"(?:^|\.)\w*connect\.New([A-Z]\w*)Handler$")
+_ARG0_ID_RE = re.compile(r"\s*&?(\w+)\s*[,)]")
 _PARAM_RE = re.compile(rf"^\s*({_ID})\s+\.{{0,3}}\*?({_DOTTED})")
 _RET_FIRST_RE = re.compile(rf"\*?({_DOTTED})")
 # route-call registration (reference endpoint_routes.py Go shapes):
@@ -404,18 +410,21 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             c_caller, c_qns = _ctx_at(cm.start(1))
             if c_caller is module_scope:
                 continue
-            call_rows.append(
-                {
-                    "kind": "call",
-                    "parent_qn": c_caller.qn,
-                    "parent_kind": c_caller.kind.capitalize(),
-                    "start_line": line_no,
-                    "start_col": cm.start(1),
-                    "callee": callee,
-                    "is_ret": ret_stmt and line[: cm.start(1)].strip() == "return",
-                    "_stack": list(c_qns),
-                }
-            )
+            row = {
+                "kind": "call",
+                "parent_qn": c_caller.qn,
+                "parent_kind": c_caller.kind.capitalize(),
+                "start_line": line_no,
+                "start_col": cm.start(1),
+                "callee": callee,
+                "is_ret": ret_stmt and line[: cm.start(1)].strip() == "return",
+                "_stack": list(c_qns),
+            }
+            if _RPC_HANDLER_RE.search(callee):
+                a0 = _ARG0_ID_RE.match(line, cm.end())
+                if a0:
+                    row["_arg0_id"] = a0.group(1)
+            call_rows.append(row)
         for lm in _CTOR_LIT_RE.finditer(line):
             if any(s <= lm.start(1) < e for s, e in consumed):
                 continue
@@ -515,6 +524,32 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
     for c in call_rows:
         callee = c["callee"]
         stack_qns = c.pop("_stack", [])
+        arg0_id = c.pop("_arg0_id", None)
+        if arg0_id is not None:
+            # handler wiring → one rpc_wire mention (io capture group):
+            # name = service stem, callee = the impl arg's locally-inferred
+            # type (scope ctor/var-decl/param — the reference's function-
+            # local _Binding walk, rpc_exposure.py:34-46)
+            hm = _RPC_HANDLER_RE.search(callee)
+            impl_t = _lookup(scope_assigns, stack_qns, arg0_id, c["start_line"])
+            if impl_t is None:
+                for sq in reversed(stack_qns):
+                    pt = param_types.get(sq, {}).get(arg0_id)
+                    if pt is not None:
+                        impl_t = pt
+                        break
+            if hm is not None:
+                mentions.append(
+                    {
+                        "kind": "rpc_wire",
+                        "name": hm.group(1),
+                        "callee": impl_t or arg0_id,
+                        "parent_qn": c["parent_qn"],
+                        "parent_kind": c["parent_kind"],
+                        "start_line": c["start_line"],
+                        "start_col": c["start_col"],
+                    }
+                )
         segs = callee.split(".")
         if (
             c["kind"] == "call"

@@ -48,7 +48,23 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     from code_graph_rag_spark.extract.rustlite import RUST_EXTENSIONS
     from code_graph_rag_spark.extract.rustlite import parse_document as _parse_rs
 
+    from code_graph_rag_spark.extract.contracts import (
+        CONTRACT_EXTENSIONS,
+        SPEC_EXTENSIONS,
+        is_spec_text,
+        parse_proto,
+        parse_spec,
+    )
+
     ext = doc_extension(doc_id)
+    if ext in CONTRACT_EXTENSIONS:
+        return parse_proto(doc_id, text)
+    if ext in SPEC_EXTENSIONS and is_spec_text(text):
+        # narrow sniff (reference contracts.py _spec_document): manifests
+        # like package.json/composer.json fall through to the manifest path
+        rows = parse_spec(doc_id, text)
+        if rows:
+            return rows
     if ext in JS_EXTENSIONS:
         return _parse_js(doc_id, text)
     if ext in JAVA_EXTENSIONS:
@@ -111,7 +127,9 @@ def _media_rows(spans: list, module_qn: str) -> list[dict]:
 # mention kinds consumed ONLY by the io capture group (plans/flow.py
 # assignment-taint / per-argument flow, plans/endpoints.py mount prefixes).
 # `returns` is NOT here: the chained-return resolution rung (core) needs it.
-_IO_ONLY_KINDS = frozenset({"assign", "argflow", "mount", "route_call"})
+_IO_ONLY_KINDS = frozenset(
+    {"assign", "argflow", "mount", "route_call", "rpc_wire", "contract_op"}
+)
 
 
 def _extract_batches(

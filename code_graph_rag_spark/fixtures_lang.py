@@ -998,3 +998,146 @@ DART_FORBIDDEN = {
     ("dproj.app.useLocal", "CALLS", "dproj.shapes.Shape.area"),
     ("dproj.app.useParam", "CALLS", "dproj.shapes.Circle.area"),
 }
+
+
+# connect-style RPC wiring fixture (reference parsers/rpc_exposure.py +
+# the RPC arm of io_access/processor.py): server handler wiring + a
+# generated-client call meeting on one resource::RPC node
+RPC_DOCS = [
+    _doc(
+        "rpcproj/server/server.go",
+        code(
+            "package server\n\n"
+            "type GreetServer struct{}\n\n"
+            "func (s *GreetServer) Greet(req string) string {\n"
+            '\treturn "hi"\n'
+            "}\n\n"
+            "func (s *GreetServer) Farewell(req string) string {\n"
+            '\treturn "bye"\n'
+            "}\n\n"
+            "func (s *GreetServer) helper() {}\n\n"
+            "func Wire() {\n"
+            "\timpl := &GreetServer{}\n"
+            "\tpath, handler := greetconnect.NewGreetServiceHandler(impl)\n"
+            "\t_ = path\n"
+            "\t_ = handler\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "rpcproj/cli/cli.go",
+        code(
+            "package cli\n\n"
+            "func Run() {\n"
+            "\tc := greetconnect.NewGreetServiceClient(nil)\n"
+            '\tc.Greet("x")\n'
+            "}\n"
+        ),
+    ),
+]
+
+RPC_EXPECTED = {
+    # server: exported impl methods EXPOSE the contract's RPC nodes
+    # (the unexported helper does not)
+    (
+        "rpcproj.server.GreetServer.Greet",
+        "EXPOSES",
+        "resource::RPC::GreetService.Greet",
+    ),
+    (
+        "rpcproj.server.GreetServer.Farewell",
+        "EXPOSES",
+        "resource::RPC::GreetService.Farewell",
+    ),
+    # client: request AND response (READ_WRITE) on the SAME node
+    ("rpcproj.cli.Run", "READS_FROM", "resource::RPC::GreetService.Greet"),
+    ("rpcproj.cli.Run", "WRITES_TO", "resource::RPC::GreetService.Greet"),
+}
+
+
+# contract-linking fixture (reference parsers/contracts.py +
+# parsers/contract_linking.py): a .proto contract behind the RPC wiring
+# corpus, and an OpenAPI spec behind a decorated web app
+CONTRACT_DOCS = RPC_DOCS + [
+    _doc(
+        "rpcproj/api/greet.proto",
+        code(
+            'syntax = "proto3";\n'
+            "package greet.v1;\n\n"
+            "service GreetService {\n"
+            "  rpc Greet(GreetRequest) returns (GreetResponse);\n"
+            "  rpc Farewell(FarewellRequest) returns (FarewellResponse);\n"
+            "}\n\n"
+            "message GreetRequest {}\n"
+        ),
+    ),
+    _doc(
+        "websvc/app.py",
+        code(
+            '@app.get("/users/{id}")\n'
+            "def get_user(user_id):\n"
+            "    return user_id\n\n"
+            '@app.post("/users")\n'
+            "def create_user():\n"
+            "    return 1\n"
+        ),
+    ),
+    _doc(
+        "websvc/openapi.json",
+        code(
+            "{\n"
+            '  "openapi": "3.0.0",\n'
+            '  "paths": {\n'
+            '    "/users/{id}": {"get": {"operationId": "getUser"}},\n'
+            '    "/users": {"post": {"operationId": "createUser"}}\n'
+            "  }\n"
+            "}\n"
+        ),
+    ),
+]
+
+CONTRACT_EXPECTED = {
+    # declaring files anchor their operations
+    (
+        "rpcproj/api/greet.proto",
+        "EXPOSES",
+        "resource::CONTRACT::rpcproj::greet.v1.GreetService.Greet",
+    ),
+    (
+        "rpcproj/api/greet.proto",
+        "EXPOSES",
+        "resource::CONTRACT::rpcproj::greet.v1.GreetService.Farewell",
+    ),
+    (
+        "websvc/openapi.json",
+        "EXPOSES",
+        "resource::CONTRACT::websvc::websvc/openapi.getUser",
+    ),
+    (
+        "websvc/openapi.json",
+        "EXPOSES",
+        "resource::CONTRACT::websvc::websvc/openapi.createUser",
+    ),
+    # RPC resources resolve by the bare <Service>.<Method> key
+    (
+        "resource::RPC::GreetService.Greet",
+        "RESOLVES_TO",
+        "resource::CONTRACT::rpcproj::greet.v1.GreetService.Greet",
+    ),
+    (
+        "resource::RPC::GreetService.Farewell",
+        "RESOLVES_TO",
+        "resource::CONTRACT::rpcproj::greet.v1.GreetService.Farewell",
+    ),
+    # endpoint resources resolve by method + template match
+    (
+        "endpoint::websvc::GET /users/{id}",
+        "RESOLVES_TO",
+        "resource::CONTRACT::websvc::websvc/openapi.getUser",
+    ),
+    (
+        "endpoint::websvc::POST /users",
+        "RESOLVES_TO",
+        "resource::CONTRACT::websvc::websvc/openapi.createUser",
+    ),
+}

@@ -342,14 +342,26 @@ def assemble_graph(
             endpoint_edges,
             route_call_edges,
         )
+        from code_graph_rag_spark.plans.contracts import contract_edges
         from code_graph_rag_spark.plans.flow import arg_flow_edges
+        from code_graph_rag_spark.plans.rpc import rpc_edges
 
+        endpoint_e = endpoint_edges(ent_scope, mentions)
+        route_e = route_call_edges(ent_scope, mentions)
+        rpc_e = rpc_edges(ent_scope, mentions)
         io_group = [
             io_edges(mentions, alias),
             flow_edges(resolved),
             arg_flow_edges(mentions, resolved, alias),
-            endpoint_edges(ent_scope, mentions),
-            route_call_edges(ent_scope, mentions),
+            endpoint_e,
+            route_e,
+            rpc_e,
+            # contract linking consumes the artefact frames the passes
+            # above produced (reference runs contract_linking after
+            # endpoints + rpc exposure for the same reason)
+            contract_edges(
+                mentions, endpoint_e.unionByName(route_e), rpc_e
+            ),
         ]
 
     # ---- findings capture group (off by default, like the reference's
