@@ -337,6 +337,59 @@ def kg_arg_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_taint_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop taint reach: bounded shortest-path closure over the
+    FLOWS_TO subgraph (plans/taint.flow_closure). The reference leaves
+    multi-hop reach to the graph DB's variable-length path read
+    (``MATCH (a)-[:FLOWS_TO*]->(b)``, docs/architecture/
+    graph-schema.md:77-83); this is that read path as level-synchronous
+    frontier joins. Oracle: a DuckDB recursive CTE enumerating ALL walks
+    over the hand-derived base edges, argmin per pair — a genuinely
+    independent computation of the same closure."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.plans.taint import flow_closure
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    src = (
+        "import os\n\n"
+        "def source():\n"
+        "    return os.getenv('KEY')\n\n"
+        "def mid():\n"
+        "    return source()\n\n"
+        "def top():\n"
+        "    return mid()\n\n"
+        "def alt():\n"
+        "    return mid()\n\n"
+        "def sink_user():\n"
+        "    k = os.getenv('TOKEN')\n"
+        "    print(k)\n"
+    )
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "taintdemo/app.py",
+                "spans": [
+                    {"kind": "code", "text": src, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return flow_closure(g.edges, max_hops=8).orderBy("src", "dst")
+
+
+# the hand-derived FLOWS_TO base of the kg_taint_paths fixture: chained
+# `return f()` hops (io_flow.flow_edges) + the env→stdout resource flow
+# (flow.arg_flow_edges); the oracle closes over these independently
+_TAINT_BASE_EDGES = (
+    ("taintdemo.app.source", "taintdemo.app.mid"),
+    ("taintdemo.app.mid", "taintdemo.app.top"),
+    ("taintdemo.app.mid", "taintdemo.app.alt"),
+    ("resource::env::TOKEN", "resource::stdout::stdout"),
+)
+
+
 def _lang_build(spark: SparkSession, docs_rows: list[dict]) -> DataFrame:
     """Shared body of the per-language tier queries: build the graph over
     the packaged fixture corpus, project the whitelisted predicates. The
@@ -821,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_io_flow": kg_io_flow,
         "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
+        "kg_taint_paths": kg_taint_paths,
         "kg_findings": kg_findings,
         "kg_rpc": kg_rpc,
         "kg_contracts": kg_contracts,
@@ -970,6 +1024,7 @@ def _resolution_stats_sql() -> str:
 
 def _kg_oracles() -> dict[str, str]:
     from code_graph_rag_spark import fixtures_lang as _FL
+    from code_graph_rag_spark.plans import taint as _taint
 
     d = _write_kg_oracle_tables()
     edges_pq = f"read_parquet('{d}/edges.parquet')"
@@ -1038,6 +1093,14 @@ def _kg_oracles() -> dict[str, str]:
                 ('taint.app.pipeline', 'taint.app.use_kw', 'kw:data', 'arg')
             ) t(subj, obj, via, kind) ORDER BY subj, obj, via
         """,
+        # recursive-CTE closure over the hand-derived FLOWS_TO base —
+        # enumerates every walk (no pruning) then argmin per (src, dst),
+        # independent of the Spark frontier algorithm
+        "kg_taint_paths": _taint.closure_oracle_sql(
+            ", ".join(f"('{s}', '{d}')" for s, d in _TAINT_BASE_EDGES),
+            max_hops=8,
+        )
+        + " ORDER BY src, dst",
         "kg_js_build": _lang_build_sql(_FL.JS_EXPECTED),
         "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
