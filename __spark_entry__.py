@@ -337,6 +337,71 @@ def kg_arg_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_resolves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client URL literals → matching routes: RESOLVES_TO
+    (link_endpoints, parsers/endpoints.py:425-545; matching semantics
+    url_matches_template:129-159). Covers host-scoped absolute URLs,
+    unknown-host fan-out, rootful same-origin scoping, the direction
+    gate, param segments, and query/trailing-slash stripping."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    api_src = (
+        "from flask import Flask\n\n"
+        "app = Flask(__name__)\n\n"
+        "@app.route('/users/<user_id>')\n"
+        "def get_user(user_id):\n"
+        "    return user_id\n\n"
+        "@app.route('/orders', methods=['POST'])\n"
+        "def create_order():\n"
+        "    return 1\n"
+    )
+    client_src = (
+        "import requests\n\n"
+        "def fetch_user():\n"
+        "    return requests.get('http://svc/users/42?verbose=1')\n\n"
+        "def push_order():\n"
+        "    return requests.post('/orders/')\n\n"
+        "def external():\n"
+        "    return requests.get('https://other.example.com/users/7')\n\n"
+        "def wrong_direction():\n"
+        "    return requests.post('http://svc/users/42')\n"
+    )
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "svc/api.py",
+                "spans": [
+                    {
+                        "kind": "code",
+                        "text": api_src,
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            },
+            {
+                "doc_id": "svc/client.py",
+                "spans": [
+                    {
+                        "kind": "code",
+                        "text": client_src,
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            },
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    return (
+        g.edges.filter(F.col("pred") == "RESOLVES_TO")
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
 def kg_taint_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop taint reach: bounded shortest-path closure over the
     FLOWS_TO subgraph (plans/taint.flow_closure). The reference leaves
@@ -875,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
         "kg_taint_paths": kg_taint_paths,
+        "kg_resolves": kg_resolves,
         "kg_findings": kg_findings,
         "kg_rpc": kg_rpc,
         "kg_contracts": kg_contracts,
@@ -1092,6 +1158,20 @@ def _kg_oracles() -> dict[str, str]:
                 ('taint.app.pipeline', 'taint.app.consume', 'arg:0', 'arg'),
                 ('taint.app.pipeline', 'taint.app.use_kw', 'kw:data', 'arg')
             ) t(subj, obj, via, kind) ORDER BY subj, obj, via
+        """,
+        # hand-derived from link_endpoints semantics for the two-doc
+        # fixture: host 'svc' scopes to project svc; unknown host fans out;
+        # rootful '/orders/' is same-origin (trailing slash stripped);
+        # wrong_direction's POST to the GET-only route must NOT appear
+        "kg_resolves": """
+            SELECT * FROM (VALUES
+                ('resource::network::/orders/', 'RESOLVES_TO',
+                 'endpoint::svc::POST /orders'),
+                ('resource::network::http://svc/users/42?verbose=1',
+                 'RESOLVES_TO', 'endpoint::svc::GET /users/<user_id>'),
+                ('resource::network::https://other.example.com/users/7',
+                 'RESOLVES_TO', 'endpoint::svc::GET /users/<user_id>')
+            ) t(subj, pred, obj) ORDER BY subj, obj
         """,
         # recursive-CTE closure over the hand-derived FLOWS_TO base —
         # enumerates every walk (no pruning) then argmin per (src, dst),

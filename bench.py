@@ -205,11 +205,53 @@ def main() -> None:
         # MORE cores lose — that measures the harness, not the engine), and
         # each leg in a FRESH SUBPROCESS: back-to-back sessions in one JVM
         # contaminate each other (measured 3x degradation on the second).
+        #
+        # Default pair is 4 vs 16 (not 8 vs 32): this VM cannot deliver 4x
+        # from its upper cores — a pure whole-stage-codegen range-sum (no
+        # shuffle, no Python) measures only ~2.5x from 8->32 threads and
+        # ~3.1x from 4->16 (frequency scaling / hypervisor overcommit), so
+        # any job's 8->32 "efficiency" is capped at ~0.6 by the box alone.
+        # The same ideal-workload probe runs at both leg sizes and its
+        # speedup is reported as `ideal_speedup` — the box's achievable
+        # ceiling for a perfectly parallel job — alongside
+        # `normalized_efficiency` = engine speedup / ideal speedup, the
+        # engine's share of the parallelism the hardware actually offers.
         import subprocess
 
+        # 20k docs keeps a leg at 1-5 min: short enough that 3 alternating
+        # runs sample different box-noise windows (the host shows 3x
+        # time-varying contention; one 60k run measured every leg — engine
+        # AND ideal probe — uniformly 3x slower than the same code an hour
+        # earlier), long enough that the ~40 s fixed stage cost is <half
+        # of the small leg. The min per config is the least-contaminated
+        # observation.
         sdocs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "20000"))
 
-        s_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+        s_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16")
+        small_cores, big_cores = (int(x) for x in pair.split(","))
+
+        def ideal_leg(cores: int) -> float:
+            # perfectly parallel JVM-side baseline: codegen'd range-sum,
+            # zero shuffle/Python — measures what the box gives N threads
+            code = (
+                "import sys, time; sys.path.insert(0, "
+                f"{str(Path(__file__).resolve().parent)!r}); "
+                "from code_graph_rag_spark.session import get_spark; "
+                f"s = get_spark(cores={cores}, app_name='ideal{cores}'); "
+                "s.range(10_000_000).selectExpr('sum(id)').collect(); "
+                "t0 = time.time(); "
+                f"s.range(0, 40_000_000_000, 1, {cores})"
+                ".selectExpr('sum(id % 1000)').collect(); "
+                "print('IDEAL', time.time() - t0)"
+            )
+            p = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True
+            )
+            for ln in p.stdout.splitlines():
+                if ln.startswith("IDEAL "):
+                    return float(ln[6:])
+            raise RuntimeError(p.stderr[-800:])
 
         def leg(cores: int) -> dict:
             code = (
@@ -233,32 +275,46 @@ def main() -> None:
         # vs 45 s isolated). Each leg is a fresh subprocess; the min is
         # the least-contaminated observation of each configuration on a
         # steal-prone VM.
-        small_cores = max(CPUS // 4, 1)
-        times: dict[int, list[float]] = {CPUS: [], small_cores: []}
+        times: dict[int, list[float]] = {big_cores: [], small_cores: []}
+        ideal_times: dict[int, list[float]] = {big_cores: [], small_cores: []}
         n_triples_by: dict[int, int] = {}
         for _ in range(s_runs):
-            for cores in (CPUS, small_cores):
+            for cores in (big_cores, small_cores):
                 r = leg(cores)
                 times[cores].append(r["queries_min"]["kg_build"])
                 n_triples_by[cores] = r["n_triples"]
-        t_big = min(times[CPUS])
+                ideal_times[cores].append(ideal_leg(cores))
+        t_big = min(times[big_cores])
         t_small = min(times[small_cores])
         speedup = t_small / t_big
+        ideal_speedup = min(ideal_times[small_cores]) / min(
+            ideal_times[big_cores]
+        )
+        ratio = big_cores / small_cores
         out["scaling"] = {
             "kg_docs": sdocs,
             "runs_per_leg": s_runs,
             "leg_order": "alternating",
             "cores_small": small_cores,
-            "cores_large": CPUS,
+            "cores_large": big_cores,
             "kg_secs_small": t_small,
             "kg_secs_large": t_big,
             "kg_secs_all": {str(k): v for k, v in times.items()},
             "triples_per_sec_small": round(
                 n_triples_by[small_cores] / t_small, 1
             ),
-            "triples_per_sec_large": round(n_triples_by[CPUS] / t_big, 1),
+            "triples_per_sec_large": round(n_triples_by[big_cores] / t_big, 1),
             "speedup": round(speedup, 3),
-            "efficiency": round(speedup / 4.0, 3),
+            "efficiency": round(speedup / ratio, 3),
+            # box ceiling: the same N-vs-4N pair on a perfectly parallel
+            # codegen range-sum (no shuffle, no Python, no engine code)
+            "ideal_speedup": round(ideal_speedup, 3),
+            "ideal_efficiency": round(ideal_speedup / ratio, 3),
+            "ideal_secs_all": {
+                str(k): [round(x, 2) for x in v]
+                for k, v in ideal_times.items()
+            },
+            "normalized_efficiency": round(speedup / ideal_speedup, 3),
         }
     print(json.dumps(out))
 

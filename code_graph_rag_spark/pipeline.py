@@ -349,19 +349,28 @@ def assemble_graph(
         endpoint_e = endpoint_edges(ent_scope, mentions)
         route_e = route_call_edges(ent_scope, mentions)
         rpc_e = rpc_edges(ent_scope, mentions)
+        from code_graph_rag_spark.plans.urls import resolves_to_edges
+
+        # io_e and the endpoint union each feed two branches (the edge
+        # union AND the URL→endpoint resolver) — materialize per the
+        # fan-out rule; both are sink-match-sized, tiny vs the corpus
+        io_e = _materialize(io_edges(mentions, alias), "io_edges")
+        exposes_e = _materialize(
+            endpoint_e.unionByName(route_e), "exposes"
+        )
         io_group = [
-            io_edges(mentions, alias),
+            io_e,
             flow_edges(resolved),
             arg_flow_edges(mentions, resolved, alias),
-            endpoint_e,
-            route_e,
+            exposes_e,
             rpc_e,
             # contract linking consumes the artefact frames the passes
             # above produced (reference runs contract_linking after
             # endpoints + rpc exposure for the same reason)
-            contract_edges(
-                mentions, endpoint_e.unionByName(route_e), rpc_e
-            ),
+            contract_edges(mentions, exposes_e, rpc_e),
+            # client URL literals → matching routes (link_endpoints,
+            # parsers/endpoints.py:425-545)
+            resolves_to_edges(io_e, exposes_e),
         ]
 
     # ---- findings capture group (off by default, like the reference's

@@ -59,8 +59,17 @@ def get_spark(
         # for the default 30 MIN periodicGC interval — thousands of dead
         # shuffles accumulate and every job's bookkeeping slows down
         # (measured: the pytest session's later tests ran 3-5x slower than
-        # isolated). A 2-minute forced GC keeps cleanup continuous.
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # isolated). BUT each forced System.gc() is a full STW collection
+        # whose cost grows with live heap: at 32 threads on a 20k-doc build
+        # they measured ~4 s EACH, and a 30 s interval turned a 56 s build
+        # into 130 s — inverting the N-vs-4N scaling curve. 3 min keeps
+        # cleanup continuous for long many-query sessions while a single
+        # batch build sees at most one; the test suite additionally forces
+        # a GC per module (conftest._drain_jvm_state).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "3min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
