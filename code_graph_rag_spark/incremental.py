@@ -42,7 +42,7 @@ from code_graph_rag_spark.pipeline import (
     disambiguate_modules,
 )
 from code_graph_rag_spark.plans.variants import mint_entities
-from code_graph_rag_spark.schema import MENTIONS_SCHEMA
+from code_graph_rag_spark.schema import DEFAULT_GROUPS, MENTIONS_SCHEMA
 
 _DEF_KINDS = ("module", "function", "class", "method", "interface", "enum")
 
@@ -362,14 +362,21 @@ def _write_graph_stages(store: StageStore, g: GraphResult) -> None:
 
 
 def full_build(
-    spark: SparkSession, documents: DataFrame, store: StageStore
+    spark: SparkSession,
+    documents: DataFrame,
+    store: StageStore,
+    groups: tuple[str, ...] = DEFAULT_GROUPS,
 ) -> GraphResult:
-    """Full pipeline with persisted stages: doc_hashes → mentions → graph."""
+    """Full pipeline with persisted stages: doc_hashes → mentions → graph.
+
+    Extraction stays group-less (ALL fact kinds reach the mentions stage) so
+    a later build with a wider ``groups`` reuses the stored stage; only the
+    join phase is gated."""
     store.write_stage("doc_hashes", doc_hashes(documents))
     raw = extract_mentions(documents)
     store.write_stage("mentions", raw)
     mentions = store.read_stage(spark, "mentions")
-    g = build_graph_from_mentions(mentions)
+    g = build_graph_from_mentions(mentions, groups)
     _write_graph_stages(store, g)
     return g
 
@@ -379,6 +386,7 @@ def incremental_build(
     new_documents: DataFrame,
     store: StageStore,
     scope_threshold: float = 0.5,
+    groups: tuple[str, ...] = DEFAULT_GROUPS,
 ) -> tuple[GraphResult, dict]:
     """Incremental sync against the persisted stages.
 
@@ -394,7 +402,7 @@ def incremental_build(
     falls back to the full join phase when the radius covers most docs.
     """
     if not (store.has_stage("doc_hashes") and store.has_stage("mentions")):
-        g = full_build(spark, new_documents, store)
+        g = full_build(spark, new_documents, store, groups=groups)
         return g, {"mode": "full"}
 
     old_hashes = store.read_stage(spark, "doc_hashes")
@@ -421,7 +429,7 @@ def incremental_build(
                 else None,
             )
         else:
-            g = build_graph_from_mentions(old_mentions)
+            g = build_graph_from_mentions(old_mentions, groups)
         return g, {"mode": "noop", "changed": 0, "deleted": 0}
 
     keep = old_mentions.join(changed, "doc_id", "left_anti").join(
@@ -469,11 +477,15 @@ def incremental_build(
         # global resolution facts for the typed-receiver/chained rungs:
         # out-of-scope docs' `returns` + `import` rows (the import rows let
         # a return-type expr like `Circle` expand through its own module's
-        # alias map), disambiguated consistently with the global window
+        # alias map), disambiguated consistently with the global window.
+        # `contract_op` rows ride along for the io group: contract linking's
+        # ambiguity window ("two ops with one key claim nothing") must see
+        # EVERY declared operation, and a scoped artefact must link to an
+        # unchanged contract doc's operation.
         aux_returns = disambiguate_modules(
-            spliced.filter(F.col("kind").isin("returns", "import")).join(
-                affected, "doc_id", "left_anti"
-            ),
+            spliced.filter(
+                F.col("kind").isin("returns", "import", "contract_op")
+            ).join(affected, "doc_id", "left_anti"),
             module_mentions=global_mods,
         )
         stats["scoped_mention_rows"] = scoped_mentions.count()
@@ -499,10 +511,11 @@ def incremental_build(
             kept_edges_prov=kept,
             scope_docs=affected,
             aux_mentions=aux_returns,
+            groups=groups,
         )
         stats["mode"] = "incremental_scoped"
     else:
-        g = build_graph_from_mentions(spliced)
+        g = build_graph_from_mentions(spliced, groups)
 
     _write_graph_stages(store, g)
     changed.unpersist()

@@ -290,10 +290,16 @@ def assemble_graph(
     # scoped mode: aux out-of-scope import/returns rows join in so the
     # resolution rungs (import expansion of return-type exprs) see the whole
     # corpus; duplicate re-emitted IMPORTS edges collapse in the by-src dedup
+    # fan-out rule: the spliced frame feeds alias + resolve_calls +
+    # contract_edges; the aux side is an un-checkpointed window plan over
+    # the full mention store, so cut it here
     resolve_mentions = (
         mentions
         if aux_mentions is None
-        else mentions.unionByName(aux_mentions, allowMissingColumns=True)
+        else _materialize(
+            mentions.unionByName(aux_mentions, allowMissingColumns=True),
+            "resolve_mentions",
+        )
     )
     alias, import_edges, _ = build_alias_frame(
         resolve_mentions,
@@ -358,6 +364,36 @@ def assemble_graph(
         exposes_e = _materialize(
             endpoint_e.unionByName(route_e), "exposes"
         )
+        # Scoped mode: the URL→endpoint and contract resolvers are
+        # CROSS-DOC — a scoped client URL must still match an unchanged
+        # doc's route (and vice versa), and the contract ambiguity window
+        # must see every operation. Both resolver inputs are bounded by
+        # distinct URL literals / declared routes (corpus-independent), so
+        # the exact semantics are kept by recomputing them GLOBALLY every
+        # scoped run: inputs = scoped pass outputs ∪ the kept io-pred
+        # provenance rows; the kept RESOLVES_TO rows are dropped at the
+        # union (below) since this recompute replaces them — that is what
+        # retires a stale link whose endpoint doc was deleted.
+        if kept_edges_prov is not None:
+            # tiny (route/url-literal-bounded) frames, each feeding the two
+            # resolver plans below — checkpoint so the resolvers' big
+            # regexp/window trees build over leaves, not over the kept
+            # union plans (fan-out rule)
+            kept_exposes = kept_edges_prov.filter(F.col("pred") == "EXPOSES")
+            io_all = _materialize(
+                io_e.unionByName(
+                    kept_edges_prov.filter(
+                        F.col("pred").isin("READS_FROM", "WRITES_TO")
+                    )
+                ),
+                "io_all",
+            )
+            exposes_all = _materialize(
+                exposes_e.unionByName(kept_exposes), "exposes_all"
+            )
+            rpc_all = rpc_e.unionByName(kept_exposes)
+        else:
+            io_all, exposes_all, rpc_all = io_e, exposes_e, rpc_e
         io_group = [
             io_e,
             flow_edges(resolved),
@@ -366,11 +402,13 @@ def assemble_graph(
             rpc_e,
             # contract linking consumes the artefact frames the passes
             # above produced (reference runs contract_linking after
-            # endpoints + rpc exposure for the same reason)
-            contract_edges(mentions, exposes_e, rpc_e),
+            # endpoints + rpc exposure for the same reason); contract_op
+            # facts come from resolve_mentions so the scoped path's aux
+            # rows give the ambiguity window its global view
+            contract_edges(resolve_mentions, exposes_all, rpc_all),
             # client URL literals → matching routes (link_endpoints,
             # parsers/endpoints.py:425-545)
-            resolves_to_edges(io_e, exposes_e),
+            resolves_to_edges(io_all, exposes_all),
         ]
 
     # ---- findings capture group (off by default, like the reference's
@@ -474,7 +512,12 @@ def assemble_graph(
     )
     edges_prov = new_prov
     if kept_edges_prov is not None:
-        edges_prov = new_prov.unionByName(kept_edges_prov)
+        # RESOLVES_TO is recomputed globally every scoped run (see the io
+        # branch) — carrying the kept rows too would resurrect a link whose
+        # endpoint doc was edited or deleted out from under the client
+        edges_prov = new_prov.unionByName(
+            kept_edges_prov.filter(F.col("pred") != "RESOLVES_TO")
+        )
     edges_prov = edges_prov.filter(
         F.col("pred").isin(*sorted(enabled_rels(groups)))
     )

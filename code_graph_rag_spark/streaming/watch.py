@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from code_graph_rag_spark.incremental import StageStore, incremental_build
-from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
 
 
 def watch_documents(
@@ -28,6 +28,7 @@ def watch_documents(
     store: StageStore,
     trigger_seconds: int = 10,
     on_batch=None,
+    groups: tuple[str, ...] = DEFAULT_GROUPS,
 ) -> StreamingQuery:
     """Stream parquet document drops from ``input_dir``; every micro-batch
     merges the new/changed docs into the store and rebuilds the graph
@@ -59,7 +60,7 @@ def watch_documents(
             full = batch_df
         store.write_stage("documents", full, epoch=epoch_id)
         full = store.read_stage(spark, "documents")
-        graph, stats = incremental_build(spark, full, store)
+        graph, stats = incremental_build(spark, full, store, groups=groups)
         if on_batch is not None:
             on_batch(graph, stats, epoch_id)
 

@@ -90,6 +90,91 @@ def test_incremental_lifecycle_equals_full_rebuild(spark, store_dir):
     clean.unpersist()
 
 
+_SERVER_V1 = (
+    "@app.get('/users/{id}')\ndef get_user(id):\n    return id\n\n"
+    "@app.get('/items')\ndef list_items():\n    pass\n"
+)
+_SERVER_V3 = _SERVER_V1 + "\n@app.get('/ping')\ndef ping():\n    pass\n"
+_OPENAPI = (
+    "{\n"
+    '  "openapi": "3.0.0",\n'
+    '  "paths": {\n'
+    '    "/users/{id}": {"get": {"operationId": "getUser"}},\n'
+    '    "/items": {"get": {"operationId": "listItems"}}\n'
+    "  }\n"
+    "}\n"
+)
+
+
+def _io_docs(server_src, client_url):
+    # filler docs keep the blast radius under the scoped threshold
+    return [
+        _doc("svc/__init__.py", ""),
+        _doc("svc/server.py", server_src),
+        _doc("svc/client.py", f"import requests\n\ndef fetch():\n    requests.get('{client_url}')\n"),
+        _doc("svc/client2.py", "import requests\n\ndef probe():\n    requests.get('/ping')\n"),
+        _doc("svc/openapi.json", _OPENAPI),
+        _doc("svc/x1.py", "def f1():\n    pass\n"),
+        _doc("svc/x2.py", "def f2():\n    pass\n"),
+        _doc("svc/x3.py", "def f3():\n    pass\n"),
+    ]
+
+
+def test_scoped_incremental_io_group_equals_full(spark, store_dir):
+    """Incremental ≡ full for the CROSS-DOC io passes: a scoped client URL
+    must re-resolve against an unchanged doc's route, an unchanged client
+    URL must pick up a route added by a scoped server edit, stale
+    RESOLVES_TO rows must retire, and contract links must keep their
+    global ambiguity window (the resolver recompute + aux contract_op
+    plumbing this test pins)."""
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS
+
+    groups = DEFAULT_GROUPS + ("io",)
+    store = StageStore(store_dir)
+
+    v1 = _io_docs(_SERVER_V1, "/users/7")
+    g1, stats1 = incremental_build(spark, _docs(spark, v1), store, groups=groups)
+    assert stats1["mode"] == "full"
+    t1 = _triples(g1)
+    assert (
+        "resource::network::/users/7",
+        "RESOLVES_TO",
+        "endpoint::svc::GET /users/{id}",
+    ) in t1
+
+    # edit ONLY the client: its URL now targets the unchanged /items route
+    v2 = _io_docs(_SERVER_V1, "/items")
+    g2, stats2 = incremental_build(spark, _docs(spark, v2), store, groups=groups)
+    assert stats2["mode"] == "incremental_scoped"
+    t2 = _triples(g2)
+    clean2 = build_graph(_docs(spark, v2), groups=groups)
+    assert t2 == _triples(clean2)
+    clean2.unpersist()
+    assert (
+        "resource::network::/items",
+        "RESOLVES_TO",
+        "endpoint::svc::GET /items",
+    ) in t2
+    assert not any(o == "endpoint::svc::GET /users/{id}" for _s, p, o in t2 if p == "RESOLVES_TO")
+
+    # edit ONLY the server: the new /ping route must catch client2's
+    # unchanged URL (kept net rows × scoped exposes)
+    v3 = _io_docs(_SERVER_V3, "/items")
+    g3, stats3 = incremental_build(spark, _docs(spark, v3), store, groups=groups)
+    assert stats3["mode"] == "incremental_scoped"
+    t3 = _triples(g3)
+    clean3 = build_graph(_docs(spark, v3), groups=groups)
+    assert t3 == _triples(clean3)
+    clean3.unpersist()
+    assert (
+        "resource::network::/ping",
+        "RESOLVES_TO",
+        "endpoint::svc::GET /ping",
+    ) in t3
+
+
 def test_resume_from_mentions_stage(spark, store_dir):
     """A run killed after the mentions stage resumes without re-extracting."""
     from code_graph_rag_spark.extract.mentions import extract_mentions

@@ -145,13 +145,28 @@ def test_watch_mode_micro_batches(spark):
         df.coalesce(1).write.mode("append").parquet(in_dir)
         _ = name
 
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS
+
     drop("w/a.py", "def fa():\n    pass\n", "first")
+    # io group ON: watch mode must run the endpoint/flow/url passes per
+    # micro-batch, not just the default-group join phase
     q = watch_documents(
-        spark, in_dir, StageStore(store_dir), trigger_seconds=1, on_batch=on_batch
+        spark,
+        in_dir,
+        StageStore(store_dir),
+        trigger_seconds=1,
+        on_batch=on_batch,
+        groups=DEFAULT_GROUPS + ("io",),
     )
     try:
         q.processAllAvailable()
-        drop("w/b.py", "from a import fa\n\ndef fb():\n    fa()\n", "second")
+        drop(
+            "w/b.py",
+            "from a import fa\n\n"
+            "def fb():\n    fa()\n\n"
+            "@app.get('/ping')\ndef ping():\n    pass\n",
+            "second",
+        )
         q.processAllAvailable()
         deadline = time.time() + 60
         while len(results) < 2 and time.time() < deadline:
@@ -164,3 +179,5 @@ def test_watch_mode_micro_batches(spark):
     assert len(results) >= 2
     final_triples = results[-1][1]
     assert ("w.b.fb", "CALLS", "w.a.fa") in final_triples
+    # the io pass ran inside the micro-batch (EXPOSES is io-gated)
+    assert ("w.b.ping", "EXPOSES", "endpoint::w::GET /ping") in final_triples
