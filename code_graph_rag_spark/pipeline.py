@@ -176,8 +176,19 @@ def _materialize(df: DataFrame, tag: str = "") -> DataFrame:
     t0 = time.time()
     out = df.localCheckpoint(eager=True)
     if os.environ.get("CGR_DEBUG_TIMING"):
-        print(f"[cgr-timing] {tag or 'stage'}: {time.time() - t0:.1f}s", flush=True)
+        print(
+            f"[cgr-timing] {tag or 'stage'}: {time.time() - t0:.1f}s"
+            f" @{time.time() % 10000:.1f}",
+            flush=True,
+        )
     return out
+
+
+def _mark(tag: str) -> None:
+    """Wall-clock breadcrumb (env-gated, driver-side only) to locate
+    untagged time between the materialized stage boundaries."""
+    if os.environ.get("CGR_DEBUG_TIMING"):
+        print(f"[cgr-mark] {tag} @{time.time() % 10000:.1f}", flush=True)
 
 
 def build_graph(
@@ -338,6 +349,11 @@ def assemble_graph(
     resolved = resolve_calls(
         resolve_mentions, entities, alias, closure, persist_registry=registry
     )
+    # fan-out frame: call_e, the io flow passes, and GraphResult.resolved
+    # (resolution_stats) all read it — and un-cut, the ladder plan is the
+    # bulk of the edges_prov union's Catalyst time (15 s default / 54 s io
+    # at fixture scale)
+    resolved = _materialize(resolved, "resolved")
     call_e = call_edges(resolved, entities)
 
     # ---- io capture group (off in DEFAULT_GROUPS, like the reference);
@@ -394,10 +410,16 @@ def assemble_graph(
             rpc_all = rpc_e.unionByName(kept_exposes)
         else:
             io_all, exposes_all, rpc_all = io_e, exposes_e, rpc_e
+        # Each io member below is sink/route-bounded (tiny) but its plan is
+        # Catalyst-heavy (regexp/window resolver trees) — checkpoint them so
+        # the edges_prov union optimizes over leaves (measured 54 s → 3 s
+        # for that action at fixture scale; one io build 150 s → 34 s).
         io_group = [
             io_e,
-            flow_edges(resolved),
-            arg_flow_edges(mentions, resolved, alias),
+            _materialize(flow_edges(resolved), "flow"),
+            _materialize(
+                arg_flow_edges(mentions, resolved, alias), "arg_flow"
+            ),
             exposes_e,
             rpc_e,
             # contract linking consumes the artefact frames the passes
@@ -405,10 +427,15 @@ def assemble_graph(
             # endpoints + rpc exposure for the same reason); contract_op
             # facts come from resolve_mentions so the scoped path's aux
             # rows give the ambiguity window its global view
-            contract_edges(resolve_mentions, exposes_all, rpc_all),
+            _materialize(
+                contract_edges(resolve_mentions, exposes_all, rpc_all),
+                "contracts",
+            ),
             # client URL literals → matching routes (link_endpoints,
             # parsers/endpoints.py:425-545)
-            resolves_to_edges(io_all, exposes_all),
+            _materialize(
+                resolves_to_edges(io_all, exposes_all), "resolves_to"
+            ),
         ]
 
     # ---- findings capture group (off by default, like the reference's

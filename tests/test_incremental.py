@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
 
+from conftest import _drain
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
@@ -144,6 +146,9 @@ def test_scoped_incremental_io_group_equals_full(spark, store_dir):
         "endpoint::svc::GET /users/{id}",
     ) in t1
 
+    g1.unpersist()
+    _drain()
+
     # edit ONLY the client: its URL now targets the unchanged /items route
     v2 = _io_docs(_SERVER_V1, "/items")
     g2, stats2 = incremental_build(spark, _docs(spark, v2), store, groups=groups)
@@ -152,12 +157,15 @@ def test_scoped_incremental_io_group_equals_full(spark, store_dir):
     clean2 = build_graph(_docs(spark, v2), groups=groups)
     assert t2 == _triples(clean2)
     clean2.unpersist()
+    _drain()
     assert (
         "resource::network::/items",
         "RESOLVES_TO",
         "endpoint::svc::GET /items",
     ) in t2
     assert not any(o == "endpoint::svc::GET /users/{id}" for _s, p, o in t2 if p == "RESOLVES_TO")
+
+    g2.unpersist()
 
     # edit ONLY the server: the new /ping route must catch client2's
     # unchanged URL (kept net rows × scoped exposes)
@@ -168,6 +176,7 @@ def test_scoped_incremental_io_group_equals_full(spark, store_dir):
     clean3 = build_graph(_docs(spark, v3), groups=groups)
     assert t3 == _triples(clean3)
     clean3.unpersist()
+    g3.unpersist()
     assert (
         "resource::network::/ping",
         "RESOLVES_TO",
