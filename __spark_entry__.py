@@ -918,6 +918,137 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (seed-doc coarse quantizer, operators/ivf.py): cell-pruned
+    equi-join + exact rerank. DuckDB-verified — the oracle replays the same
+    seed centroids and in-order float folds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_frame(spark, sf_dir)
+    from code_graph_rag_spark.operators.ivf import ivf_topk
+
+    out = ivf_topk(emb, q, k=10, n_cells=8, n_probe=2)
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "query_id", "rank"
+    )
+
+
+def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates (cosine ≥ τ within LSH buckets). The raw
+    synthetic corpus is well-spread (max pairwise cosine ≈ 0.49), so the
+    query plants deterministic re-encodes — vec_id+100000 carries
+    1.1 × embedding, cosine exactly 1 in ℝ — and the found pairs must be
+    exactly the planted ones. Both sides plant identically in float64."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    from code_graph_rag_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    out = embedding_near_duplicates(corpus, threshold=0.99)
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→feature plumbing over opaque binary payloads
+    (operators/multimodal.py). Payload = utf-8 bytes of the document text;
+    the deterministic fake decoder (hash_name="md5" — the one digest DuckDB
+    can replay) emits n_bytes + digest + an 8-float feature projection,
+    returned as per-feature double columns (the harness canonicalizer
+    cannot hash array cells)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,duration_ms:int,mime:string>")
+        .alias("meta"),
+    )
+    from code_graph_rag_spark.operators.multimodal import extract_features
+
+    out = extract_features(media, hash_name="md5")
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        *[
+            # round(4) on BOTH sides: the engine's features are float32 by
+            # schema (array<float>), the oracle's are exact doubles — at 4
+            # decimals the b/255 grid has no rounding-boundary collisions
+            F.round(F.col("features").getItem(i).cast("double"), 4).alias(
+                f"f{i}"
+            )
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Cypher-subset read path (code_graph_rag_spark/cypher.py) — the reference
+# answers graph questions with read-only Cypher (tools/codebase_query.py:
+# 30-120); these rows compile representative queries from cypher_queries.py
+# to DataFrame plans over the materialized graph and verify them against
+# the analytic twin's parquet in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def kg_cypher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CYPHER_AUDIT_REL_TRIPLES (cypher_queries.py:12-15): the distinct
+    (src label, rel type, dst label) schema triples, via the compiler."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (a)-[r]->(b) RETURN DISTINCT labels(a)[0] AS src, "
+        "type(r) AS rel, labels(b)[0] AS dst ORDER BY src, rel, dst",
+    )
+
+
+def kg_cypher_defines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-count Cypher (aggregation semantics: non-aggregate RETURN
+    items are the grouping keys): functions defined per module."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (m:Module)-[:DEFINES]->(f:Function) "
+        "RETURN m.qualified_name AS module, count(f) AS n_funcs "
+        "ORDER BY n_funcs DESC, module",
+    )
+
+
+def kg_cypher_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length Cypher ``-[:INHERITS*]->`` (closure-by-doubling) vs
+    a recursive-CTE DuckDB oracle."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (c:Class)-[:INHERITS*]->(b:Class) "
+        "RETURN c.qualified_name AS cls, b.qualified_name AS anc "
+        "ORDER BY cls, anc",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -973,6 +1104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidates": dedup_lsh_candidates,
         "ann_bruteforce_topk": ann_bruteforce_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
+        "mm_features": mm_features,
+        "kg_cypher_audit": kg_cypher_audit,
+        "kg_cypher_defines": kg_cypher_defines,
+        "kg_cypher_ancestors": kg_cypher_ancestors,
     }
 
 
@@ -1136,6 +1273,34 @@ def _kg_oracles() -> dict[str, str]:
             SELECT entity_id, canonical_id
             FROM read_parquet('{d}/canon.parquet') ORDER BY entity_id
         """,
+        # Cypher-subset read path: label-schema audit (labels come off the
+        # NODE frame in the compiled plan; edge-attached labels agree
+        # because the audit holds 0 dangling endpoints)
+        "kg_cypher_audit": f"""
+            SELECT DISTINCT subj_label AS src, pred AS rel,
+                            obj_label AS dst
+            FROM {edges_pq} ORDER BY src, rel, dst
+        """,
+        "kg_cypher_defines": f"""
+            SELECT subj AS module, count(*) AS n_funcs FROM {edges_pq}
+            WHERE pred = 'DEFINES' AND subj_label = 'Module'
+              AND obj_label = 'Function'
+            GROUP BY subj ORDER BY n_funcs DESC, module
+        """,
+        # recursive-CTE twin of the -[:INHERITS*]-> doubling closure
+        "kg_cypher_ancestors": f"""
+            WITH RECURSIVE clo AS (
+                SELECT subj AS src, obj AS dst FROM {edges_pq}
+                WHERE pred = 'INHERITS'
+                UNION
+                SELECT c.src, e.obj FROM clo c
+                JOIN {edges_pq} e ON e.subj = c.dst AND e.pred = 'INHERITS'
+            )
+            SELECT DISTINCT c.src AS cls, c.dst AS anc FROM clo c
+            JOIN {nodes_pq} n1 ON n1.id = c.src AND n1.label = 'Class'
+            JOIN {nodes_pq} n2 ON n2.id = c.dst AND n2.label = 'Class'
+            ORDER BY cls, anc
+        """,
         # hand-derived endpoint exposure rows for the fixed program (route
         # verb decorator; route() methods kwarg fan-out; mounted prefix)
         "kg_exposes": """
@@ -1294,26 +1459,32 @@ def _lsh_candidates_sql(max_bucket: int = 1024) -> str:
     """
 
 
+def _lsh_bucket_expr(dim: int, n_planes: int, var: str = "e") -> str:
+    """Sign-LSH bucket id over a DOUBLE[] column ``var`` — the exact
+    hyperplane constants of similarity.planes_matrix as literals, every
+    dot folded in list order (bit-parity with _seq_dots)."""
+    from code_graph_rag_spark.operators.similarity import planes_matrix
+
+    planes = planes_matrix(dim, n_planes)
+    terms = []
+    for p in range(n_planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip({var}, {lits}), "
+            "z -> z[1]*z[2]), 'sum')"
+        )
+        w = 1 << (n_planes - 1 - p)
+        terms.append(f"CASE WHEN {dot} > 0 THEN {w} ELSE 0 END")
+    return " + ".join(terms)
+
+
 def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
     """DuckDB twin of operators.similarity.lsh_topk (multi-probe, Hamming
     radius 2). The deterministic hyperplanes are embedded as literals — the
     engine and the oracle share the exact same constants (planes_matrix)."""
-    from code_graph_rag_spark.operators.similarity import (
-        planes_matrix,
-        probe_masks,
-    )
+    from code_graph_rag_spark.operators.similarity import probe_masks
 
-    planes = planes_matrix(dim, n_planes)
-    bucket_terms = []
-    for p in range(n_planes):
-        lits = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
-        dot = (
-            f"list_aggregate(list_transform(list_zip(e, {lits}), "
-            "z -> z[1]*z[2]), 'sum')"
-        )
-        w = 1 << (n_planes - 1 - p)
-        bucket_terms.append(f"CASE WHEN {dot} > 0 THEN {w} ELSE 0 END")
-    bucket = " + ".join(bucket_terms)
+    bucket = _lsh_bucket_expr(dim, n_planes)
     flips = ", ".join(f"({m})" for m in probe_masks(n_planes, 2))
     return f"""
         WITH corpus AS (
@@ -1345,6 +1516,122 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
         SELECT query_id, vec_id, cosine, rank
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
+    """
+
+
+_COS_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), z -> z[1]*z[2]), 'sum')"
+    " / (sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum'))"
+    " * sqrt(list_aggregate(list_transform({b}, x -> x*x), 'sum')))"
+)
+
+
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of operators.ivf.ivf_topk: same seed-doc centroids
+    (lowest vec_ids), same argmax tie-break (cos DESC, cell ASC), same
+    in-order float folds."""
+
+    def cos(a: str, b: str) -> str:
+        return _COS_SQL.format(a=a, b=b)
+
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), cents AS (
+            SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cell, e AS ce
+            FROM corpus ORDER BY vec_id LIMIT {n_cells}
+        ), ass AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT c.vec_id, c.e, t.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY {cos('c.e', 't.ce')} DESC, t.cell ASC)
+                           AS rk
+                FROM corpus c CROSS JOIN cents t
+            ) WHERE rk = 1
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe FROM corpus WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, t.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {cos('q.qe', 't.ce')} DESC, t.cell ASC)
+                           AS rk
+                FROM q CROSS JOIN cents t
+            ) WHERE rk <= {n_probe}
+        ), cand AS (
+            SELECT DISTINCT p.query_id, p.qe, a.vec_id, a.e
+            FROM probes p JOIN ass a USING (cell)
+        ), scored AS (
+            SELECT query_id, vec_id, {cos('qe', 'e')} AS cos_raw FROM cand
+        ), ranked AS (
+            SELECT query_id, vec_id, round(cos_raw, 4) AS cosine,
+                   cast(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _emb_near_dups_sql(
+    dim: int = 64,
+    n_planes: int = 6,
+    threshold: float = 0.99,
+    max_bucket: int = 4096,
+) -> str:
+    """DuckDB twin of emb_near_dups: identical float64 planting
+    (vec_id % 50 → 1.1×), identical bucket hash, cap mirrored."""
+    bucket = _lsh_bucket_expr(dim, n_planes)
+    cos = _COS_SQL.format(a="ea", b="eb")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), planted AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(e, x -> x * 1.1) AS e
+            FROM base WHERE vec_id % 50 = 0
+        ), corpus AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
+        ), cb AS (
+            SELECT vec_id, e, ({bucket})::BIGINT AS bucket FROM corpus
+        ), small AS (
+            SELECT bucket FROM cb
+            GROUP BY bucket HAVING count(*) <= {max_bucket}
+        ), cbs AS (
+            SELECT cb.* FROM cb SEMI JOIN small USING (bucket)
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.e AS ea, b.e AS eb
+            FROM cbs a JOIN cbs b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT vec_a, vec_b, {cos} AS c FROM pairs
+        )
+        SELECT vec_a, vec_b, round(c, 4) AS cosine
+        FROM scored WHERE c >= {threshold}
+        ORDER BY vec_a, vec_b
+    """
+
+
+def _mm_features_sql() -> str:
+    """DuckDB twin of mm_features: md5 digest over the utf-8 payload, f_i =
+    digest byte i / 255 (hex-pair parse — DuckDB has no sha1, which is why
+    the driver row pins hash_name='md5')."""
+    feats = ",\n                   ".join(
+        f"round(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 4)"
+        f" AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+        SELECT doc_id::VARCHAR AS media_id,
+               'image' AS media_type,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               md5(text) AS digest,
+               {feats}
+        FROM documents
+        ORDER BY media_id
     """
 
 
@@ -1594,6 +1881,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_lsh_candidates": _lsh_candidates_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "emb_near_dups": _emb_near_dups_sql(),
+        "mm_features": _mm_features_sql(),
         "ann_bruteforce_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

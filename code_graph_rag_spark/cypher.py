@@ -1,0 +1,620 @@
+"""Cypher-subset read path compiled to DataFrame plans (SURVEY §2.13).
+
+The reference answers graph questions by generating read-only Cypher and
+running it against Memgraph (``tools/codebase_query.py:30-120``); its whole
+query surface is MATCH patterns over labeled nodes and typed edges with
+property predicates, projections, aggregation, ORDER BY and LIMIT
+(``cypher_queries.py`` — audit triples, decorated functions, orphan scans).
+This module re-expresses that read path Spark-first: a Cypher MATCH query is
+parsed and compiled to a declarative DataFrame plan over the materialized
+``nodes`` / ``edges`` frames, so Catalyst gets full predicate pushdown and
+join planning — no graph store in the loop.
+
+Supported subset (everything the reference's read queries use):
+
+- ``MATCH (a:Label|Label2 {prop: 'lit'})-[r:REL|REL2]->(b) ...`` chains of
+  any length, both arrow directions, anonymous nodes/edges.
+- Variable-length edges ``-[:REL*]->`` (bounded transitive closure by
+  doubling — O(log depth) shuffles, same pattern as the inheritance
+  closure in ``plans/inherits.py``).
+- ``WHERE`` with AND/OR/NOT, ``=``, ``<>``, ``<``, ``<=``, ``>``, ``>=``,
+  ``STARTS WITH``, ``CONTAINS``, ``IN [...]``, ``IS [NOT] NULL``.
+- ``RETURN [DISTINCT]`` items: ``x.prop``, ``x`` (the node key),
+  ``labels(x)[0]``, ``type(r)``, ``count(*)``, ``count([DISTINCT] expr)``;
+  Cypher aggregation semantics (non-aggregate items are the group keys).
+- ``ORDER BY alias [ASC|DESC], ...`` and ``LIMIT n``.
+
+Node property names map onto the node-frame columns; ``qualified_name`` is
+the node key (``id`` column) per the reference's per-label unique keys
+(``constants/graph.py:112-137``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<str>'(?:[^'\\]|\\.)*')
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<arrow><-|->)
+    | (?P<sym><=|>=|<>|\.\.|[()\[\]{}:,.|*=<>-])
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.X,
+)
+
+_KEYWORDS = {
+    "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY", "LIMIT",
+    "AND", "OR", "NOT", "IS", "NULL", "STARTS", "WITH", "CONTAINS", "IN",
+    "DESC", "ASC", "COUNT", "LABELS", "TYPE",
+}
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            if q[i:].strip():
+                raise CypherError(f"cannot tokenize at: {q[i:i + 20]!r}")
+            break
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "name" and text.upper() in _KEYWORDS:
+            out.append(("kw", text.upper()))
+        else:
+            out.append((kind, text))
+    return out
+
+
+class CypherError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str
+    labels: list[str] = field(default_factory=list)
+    props: list[tuple[str, object]] = field(default_factory=list)
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    rels: list[str]
+    left_to_right: bool  # True for (a)-[...]->(b)
+    varlen: bool = False
+
+
+@dataclass
+class Query:
+    chains: list[list]  # alternating NodePat / EdgePat
+    where: object | None
+    distinct: bool
+    items: list[tuple[tuple, str]]  # (expr, alias)
+    order: list[tuple[str, bool]]  # (alias, desc)
+    limit: int | None
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def take(self, kind=None, text=None):
+        t = self.peek()
+        if kind and t[0] != kind:
+            raise CypherError(f"expected {kind}, got {t}")
+        if text and t[1] != text:
+            raise CypherError(f"expected {text!r}, got {t}")
+        self.i += 1
+        return t
+
+    def at(self, kind, text=None):
+        t = self.peek()
+        return t[0] == kind and (text is None or t[1] == text)
+
+    # -- pattern ------------------------------------------------------------
+
+    def parse(self) -> Query:
+        self.take("kw", "MATCH")
+        chains = [self._chain()]
+        while self.at("sym", ","):
+            self.take()
+            chains.append(self._chain())
+        where = None
+        if self.at("kw", "WHERE"):
+            self.take()
+            where = self._or_expr()
+        self.take("kw", "RETURN")
+        distinct = False
+        if self.at("kw", "DISTINCT"):
+            self.take()
+            distinct = True
+        items = [self._ret_item()]
+        while self.at("sym", ","):
+            self.take()
+            items.append(self._ret_item())
+        order: list[tuple[str, bool]] = []
+        if self.at("kw", "ORDER"):
+            self.take()
+            self.take("kw", "BY")
+            order.append(self._order_item(items))
+            while self.at("sym", ","):
+                self.take()
+                order.append(self._order_item(items))
+        limit = None
+        if self.at("kw", "LIMIT"):
+            self.take()
+            limit = int(self.take("num")[1])
+        if self.peek()[0] != "eof":
+            raise CypherError(f"trailing tokens at {self.peek()}")
+        return Query(chains, where, distinct, items, order, limit)
+
+    _anon = 0
+
+    def _gensym(self) -> str:
+        _Parser._anon += 1
+        return f"__anon{_Parser._anon}"
+
+    def _chain(self) -> list:
+        out = [self._node_pat()]
+        while self.at("sym", "-") or self.at("arrow", "<-"):
+            ep = self._edge_pat()
+            out.append(ep)
+            out.append(self._node_pat())
+        return out
+
+    def _node_pat(self) -> NodePat:
+        self.take("sym", "(")
+        var = self._gensym()
+        if self.at("name"):
+            var = self.take("name")[1]
+        labels: list[str] = []
+        if self.at("sym", ":"):
+            self.take()
+            labels.append(self.take("name")[1])
+            while self.at("sym", "|"):
+                self.take()
+                labels.append(self.take("name")[1])
+        props: list[tuple[str, object]] = []
+        if self.at("sym", "{"):
+            self.take()
+            while not self.at("sym", "}"):
+                k = self.take("name")[1]
+                self.take("sym", ":")
+                props.append((k, self._literal()))
+                if self.at("sym", ","):
+                    self.take()
+            self.take("sym", "}")
+        self.take("sym", ")")
+        return NodePat(var, labels, props)
+
+    def _edge_pat(self) -> EdgePat:
+        if self.at("arrow", "<-"):
+            self.take()
+            left_to_right = False
+        else:
+            self.take("sym", "-")
+            left_to_right = True
+        var, rels, varlen = None, [], False
+        if self.at("sym", "["):
+            self.take()
+            if self.at("name"):
+                var = self.take("name")[1]
+            if self.at("sym", ":"):
+                self.take()
+                rels.append(self.take("name")[1])
+                while self.at("sym", "|"):
+                    self.take()
+                    rels.append(self.take("name")[1])
+            if self.at("sym", "*"):
+                self.take()
+                varlen = True
+                # swallow optional bounds like *1..4 (closure bound is the
+                # compiler's doubling depth; explicit bounds are advisory)
+                while self.at("num") or self.at("sym", ".."):
+                    self.take()
+            self.take("sym", "]")
+        if left_to_right:
+            self.take("arrow", "->")
+        else:
+            self.take("sym", "-")
+        return EdgePat(var, rels, left_to_right, varlen)
+
+    def _literal(self):
+        t = self.peek()
+        if t[0] == "str":
+            self.take()
+            return t[1][1:-1].replace("\\'", "'")
+        if t[0] == "num":
+            self.take()
+            return float(t[1]) if "." in t[1] else int(t[1])
+        if t == ("kw", "NULL"):
+            self.take()
+            return None
+        raise CypherError(f"expected literal, got {t}")
+
+    # -- WHERE --------------------------------------------------------------
+
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.at("kw", "OR"):
+            self.take()
+            left = ("or", left, self._and_expr())
+        return left
+
+    def _and_expr(self):
+        left = self._not_expr()
+        while self.at("kw", "AND"):
+            self.take()
+            left = ("and", left, self._not_expr())
+        return left
+
+    def _not_expr(self):
+        if self.at("kw", "NOT"):
+            self.take()
+            return ("not", self._not_expr())
+        if self.at("sym", "("):
+            self.take()
+            e = self._or_expr()
+            self.take("sym", ")")
+            return e
+        return self._cmp()
+
+    def _cmp(self):
+        lhs = self._value_expr()
+        t = self.peek()
+        if t == ("kw", "IS"):
+            self.take()
+            neg = False
+            if self.at("kw", "NOT"):
+                self.take()
+                neg = True
+            self.take("kw", "NULL")
+            return ("isnull", lhs, neg)
+        if t == ("kw", "STARTS"):
+            self.take()
+            self.take("kw", "WITH")
+            return ("startswith", lhs, self._literal())
+        if t == ("kw", "CONTAINS"):
+            self.take()
+            return ("contains", lhs, self._literal())
+        if t == ("kw", "IN"):
+            self.take()
+            self.take("sym", "[")
+            vals = [self._literal()]
+            while self.at("sym", ","):
+                self.take()
+                vals.append(self._literal())
+            self.take("sym", "]")
+            return ("in", lhs, vals)
+        if t[0] == "sym" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
+            self.take()
+            return ("cmp", t[1], lhs, self._literal())
+        raise CypherError(f"expected comparison, got {t}")
+
+    # -- RETURN -------------------------------------------------------------
+
+    def _value_expr(self) -> tuple:
+        """x.prop | x | labels(x)[0] | type(r) | count(...)"""
+        t = self.peek()
+        if t == ("kw", "COUNT"):
+            self.take()
+            self.take("sym", "(")
+            if self.at("sym", "*"):
+                self.take()
+                inner, dist = None, False
+            else:
+                dist = False
+                if self.at("kw", "DISTINCT"):
+                    self.take()
+                    dist = True
+                inner = self._value_expr()
+            self.take("sym", ")")
+            return ("count", dist, inner)
+        if t == ("kw", "LABELS"):
+            self.take()
+            self.take("sym", "(")
+            var = self.take("name")[1]
+            self.take("sym", ")")
+            self.take("sym", "[")
+            self.take("num")
+            self.take("sym", "]")
+            return ("label", var)
+        if t == ("kw", "TYPE"):
+            self.take()
+            self.take("sym", "(")
+            var = self.take("name")[1]
+            self.take("sym", ")")
+            return ("type", var)
+        var = self.take("name")[1]
+        if self.at("sym", "."):
+            self.take()
+            return ("prop", var, self.take("name")[1])
+        return ("var", var)
+
+    def _ret_item(self) -> tuple[tuple, str]:
+        expr = self._value_expr()
+        if self.at("kw", "AS"):
+            self.take()
+            alias = self.take("name")[1]
+        else:
+            alias = _default_alias(expr)
+        return (expr, alias)
+
+    def _order_item(self, items) -> tuple[str, bool]:
+        # an ORDER BY key is an output alias or a bare x.prop that matches one
+        t = self.peek()
+        if t[0] == "name" and self.peek(1) != ("sym", "."):
+            alias = self.take("name")[1]
+        else:
+            expr = self._value_expr()
+            alias = next(
+                (a for e, a in items if e == expr), _default_alias(expr)
+            )
+        desc = False
+        if self.at("kw", "DESC"):
+            self.take()
+            desc = True
+        elif self.at("kw", "ASC"):
+            self.take()
+        return (alias, desc)
+
+
+def _default_alias(expr: tuple) -> str:
+    kind = expr[0]
+    if kind == "prop":
+        return expr[2]
+    if kind == "var":
+        return expr[1]
+    if kind == "label":
+        return "label"
+    if kind == "type":
+        return "rel"
+    if kind == "count":
+        return "n"
+    return "expr"
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+# Cypher property → node-frame column. qualified_name IS the node key
+# (reference constants/graph.py:114-136 — per-label unique key).
+_PROP_COL = {
+    "qualified_name": "id",
+    "absolute_path": "path",
+    "name": "name",
+    "path": "path",
+    "start_line": "start_line",
+    "end_line": "end_line",
+}
+
+
+def _node_col(var: str, prop: str) -> str:
+    col = _PROP_COL.get(prop)
+    if col is None:
+        raise CypherError(f"unsupported property {prop!r}")
+    return f"{var}__{col}"
+
+
+def _closure_pairs(pairs: DataFrame, doublings: int = 4) -> DataFrame:
+    """Bounded transitive closure by doubling over distinct (src, dst):
+    depth ≤ 2^doublings in `doublings` self-join rounds (log-depth shuffle
+    count — the plan a per-hop loop cannot match at scale)."""
+    clo = pairs.distinct().localCheckpoint(eager=True)
+    for _ in range(doublings):
+        ext = (
+            clo.alias("x")
+            .join(clo.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        nxt = clo.unionByName(ext).distinct().localCheckpoint(eager=True)
+        if nxt.count() == clo.count():
+            return nxt
+        clo = nxt
+    return clo
+
+
+def _compile_where(cond) -> F.Column:
+    kind = cond[0]
+    if kind == "and":
+        return _compile_where(cond[1]) & _compile_where(cond[2])
+    if kind == "or":
+        return _compile_where(cond[1]) | _compile_where(cond[2])
+    if kind == "not":
+        return ~_compile_where(cond[1])
+    col = _compile_value(cond[1] if kind != "cmp" else cond[2])
+    if kind == "isnull":
+        return col.isNotNull() if cond[2] else col.isNull()
+    if kind == "startswith":
+        return col.startswith(cond[2])
+    if kind == "contains":
+        return col.contains(cond[2])
+    if kind == "in":
+        return col.isin(*cond[2])
+    if kind == "cmp":
+        op, lit = cond[1], cond[3]
+        return {
+            "=": col == lit,
+            "<>": col != lit,
+            "<": col < lit,
+            "<=": col <= lit,
+            ">": col > lit,
+            ">=": col >= lit,
+        }[op]
+    raise CypherError(f"bad condition {cond!r}")
+
+
+def _compile_value(expr: tuple) -> F.Column:
+    kind = expr[0]
+    if kind == "prop":
+        return F.col(_node_col(expr[1], expr[2]))
+    if kind == "var":
+        return F.col(f"{expr[1]}__id")
+    if kind == "label":
+        return F.col(f"{expr[1]}__label")
+    if kind == "type":
+        return F.col(f"{expr[1]}__pred")
+    raise CypherError(f"not a scalar expression: {expr!r}")
+
+
+def run_cypher(
+    nodes: DataFrame, edges: DataFrame, query: str, closure_doublings: int = 4
+) -> DataFrame:
+    """Compile + run a read-only Cypher MATCH query over the graph frames.
+
+    Returns a DataFrame whose columns are the RETURN aliases. The plan is
+    pure DataFrame ops: label/property filters push into the node scan,
+    each edge hop is an equi-join on the node key, variable-length hops use
+    the doubling closure, and aggregation follows Cypher semantics
+    (non-aggregate RETURN items are the grouping keys).
+    """
+    q = _Parser(_tokenize(query)).parse()
+
+    node_vars: dict[str, DataFrame] = {}
+
+    def node_df(np: NodePat) -> DataFrame:
+        d = nodes
+        if np.labels:
+            d = d.filter(F.col("label").isin(*np.labels))
+        for k, v in np.props:
+            col = _PROP_COL.get(k)
+            if col is None:
+                raise CypherError(f"unsupported property {k!r}")
+            d = d.filter(F.col(col) == v)
+        keep = ["label", "id", "name", "path", "start_line", "end_line"]
+        return d.select(
+            *[F.col(c).alias(f"{np.var}__{c}") for c in keep if c in d.columns]
+        )
+
+    df: DataFrame | None = None
+    eidx = 0
+    for chain in q.chains:
+        left = chain[0]
+        part = node_df(left)
+        if left.var in node_vars:
+            raise CypherError(f"duplicate node variable {left.var!r}")
+        node_vars[left.var] = part
+        i = 1
+        while i < len(chain):
+            ep: EdgePat = chain[i]
+            right: NodePat = chain[i + 1]
+            e = edges
+            if ep.rels:
+                e = e.filter(F.col("pred").isin(*ep.rels))
+            src, dst = ("subj", "obj") if ep.left_to_right else ("obj", "subj")
+            eidx += 1
+            # Multi-label entities (e.g. a package dir that is also a
+            # module) are one node with several labels in the reference's
+            # store but one ROW PER LABEL here — the edge's endpoint labels
+            # are therefore part of its identity, and a single-hop join
+            # binds on (id, label). Variable-length hops bind on id only
+            # (intermediate labels are not observable from closure pairs).
+            if ep.varlen:
+                pairs = _closure_pairs(
+                    e.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                    closure_doublings,
+                ).select(
+                    F.col("src").alias(f"__e{eidx}_src"),
+                    F.col("dst").alias(f"__e{eidx}_dst"),
+                )
+                lcond = (
+                    F.col(f"{chain[i - 1].var}__id") == F.col(f"__e{eidx}_src")
+                )
+                rcond = F.col(f"__e{eidx}_dst") == F.col(f"{right.var}__id")
+                drop = [f"__e{eidx}_src", f"__e{eidx}_dst"]
+            else:
+                cols = [
+                    F.col(src).alias(f"__e{eidx}_src"),
+                    F.col(dst).alias(f"__e{eidx}_dst"),
+                    F.col(f"{src}_label").alias(f"__e{eidx}_srclab"),
+                    F.col(f"{dst}_label").alias(f"__e{eidx}_dstlab"),
+                ]
+                if ep.var:
+                    cols.append(F.col("pred").alias(f"{ep.var}__pred"))
+                pairs = e.select(*cols)
+                lcond = (
+                    F.col(f"{chain[i - 1].var}__id") == F.col(f"__e{eidx}_src")
+                ) & (
+                    F.col(f"{chain[i - 1].var}__label")
+                    == F.col(f"__e{eidx}_srclab")
+                )
+                rcond = (
+                    F.col(f"__e{eidx}_dst") == F.col(f"{right.var}__id")
+                ) & (
+                    F.col(f"__e{eidx}_dstlab") == F.col(f"{right.var}__label")
+                )
+                drop = [
+                    f"__e{eidx}_src",
+                    f"__e{eidx}_dst",
+                    f"__e{eidx}_srclab",
+                    f"__e{eidx}_dstlab",
+                ]
+            part = part.join(pairs, lcond)
+            if right.var in node_vars:
+                raise CypherError(
+                    f"duplicate node variable {right.var!r} (cycles and "
+                    "shared-variable comma patterns are out of the v1 subset)"
+                )
+            rdf = node_df(right)
+            part = part.join(rdf, rcond).drop(*drop)
+            node_vars[right.var] = rdf
+            i += 2
+        df = part if df is None else df.crossJoin(part)
+
+    if q.where is not None:
+        df = df.filter(_compile_where(q.where))
+
+    aggs = [(e, a) for e, a in q.items if e[0] == "count"]
+    keys = [(e, a) for e, a in q.items if e[0] != "count"]
+    if aggs:
+        key_cols = [_compile_value(e).alias(a) for e, a in keys]
+        agg_cols = []
+        for e, a in aggs:
+            _, dist, inner = e
+            if inner is None:
+                agg_cols.append(F.count(F.lit(1)).alias(a))
+            elif dist:
+                agg_cols.append(F.countDistinct(_compile_value(inner)).alias(a))
+            else:
+                agg_cols.append(F.count(_compile_value(inner)).alias(a))
+        df = (
+            df.groupBy(*key_cols).agg(*agg_cols)
+            if key_cols
+            else df.agg(*agg_cols)
+        )
+        out = df
+    else:
+        out = df.select(*[_compile_value(e).alias(a) for e, a in q.items])
+        if q.distinct:
+            out = out.distinct()
+
+    if q.order:
+        out = out.orderBy(
+            *[F.desc(a) if d else F.asc(a) for a, d in q.order]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

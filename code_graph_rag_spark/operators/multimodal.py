@@ -45,23 +45,30 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id string, media_type string, n_bytes long, sha1 string, "
+    "media_id string, media_type string, n_bytes long, digest string, "
     "features array<float>"
 )
 
 
-def _fake_decode_features(payload: bytes, n_features: int = 8) -> list[float]:
+def _fake_decode_features(
+    payload: bytes, n_features: int = 8, hash_name: str = "sha1"
+) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: a byte-histogram
     projection seeded by the payload digest. Replace with a real codec
-    (PIL / torchaudio / pyav) by swapping this function ONLY."""
+    (PIL / torchaudio / pyav) by swapping this function ONLY.
+    ``hash_name``: any hashlib algorithm — the driver oracle uses "md5"
+    (the only digest DuckDB can replay)."""
     if payload is None:
         return [0.0] * n_features
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.new(hash_name, payload).digest()
     return [b / 255.0 for b in digest[:n_features]]
 
 
 def extract_features(
-    media: DataFrame, n_features: int = 8, decode_stub: bool = True
+    media: DataFrame,
+    n_features: int = 8,
+    decode_stub: bool = True,
+    hash_name: str = "sha1",
 ) -> DataFrame:
     """media frame → per-item feature vectors (Arrow-batched)."""
     if not decode_stub:
@@ -80,12 +87,15 @@ def extract_features(
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in payloads
                     ],
-                    "sha1": [
-                        hashlib.sha1(p).hexdigest() if p is not None else None
+                    "digest": [
+                        hashlib.new(hash_name, p).hexdigest()
+                        if p is not None
+                        else None
                         for p in payloads
                     ],
                     "features": [
-                        _fake_decode_features(p, n_features) for p in payloads
+                        _fake_decode_features(p, n_features, hash_name)
+                        for p in payloads
                     ],
                 }
             )

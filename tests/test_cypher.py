@@ -1,0 +1,179 @@
+"""Cypher-subset read path (code_graph_rag_spark/cypher.py).
+
+Hand-built graph frames (no pipeline build — the compiler is graph-agnostic)
+with expected results derived by hand; mirrors the reference's read-query
+shapes from cypher_queries.py (audit rel-triples, decorated-function lookup,
+variable-length containment walks, grouped counts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from code_graph_rag_spark.cypher import CypherError, run_cypher
+
+NODES = [
+    # label, id, name, path, start_line, end_line
+    ("Module", "app.main", "main", "app/main.py", 1, 50),
+    ("Module", "app.util", "util", "app/util.py", 1, 30),
+    ("Class", "app.main.Svc", "Svc", "app/main.py", 3, 20),
+    ("Class", "app.util.Base", "Base", "app/util.py", 2, 10),
+    ("Class", "app.util.Mid", "Mid", "app/util.py", 12, 20),
+    ("Function", "app.main.run", "run", "app/main.py", 22, 30),
+    ("Function", "app.util.helper", "helper", "app/util.py", 22, 28),
+    ("Method", "app.main.Svc.go", "go", "app/main.py", 5, 9),
+]
+
+EDGES = [
+    # subj, pred, obj, subj_label, obj_label
+    ("app.main", "DEFINES", "app.main.Svc", "Module", "Class"),
+    ("app.main", "DEFINES", "app.main.run", "Module", "Function"),
+    ("app.util", "DEFINES", "app.util.Base", "Module", "Class"),
+    ("app.util", "DEFINES", "app.util.Mid", "Module", "Class"),
+    ("app.util", "DEFINES", "app.util.helper", "Module", "Function"),
+    ("app.main.Svc", "DEFINES_METHOD", "app.main.Svc.go", "Class", "Method"),
+    ("app.main.Svc", "INHERITS", "app.util.Mid", "Class", "Class"),
+    ("app.util.Mid", "INHERITS", "app.util.Base", "Class", "Class"),
+    ("app.main.run", "CALLS", "app.main.Svc.go", "Function", "Method"),
+    ("app.main.Svc.go", "CALLS", "app.util.helper", "Method", "Function"),
+]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        NODES, "label string, id string, name string, path string, "
+        "start_line int, end_line int"
+    )
+    edges = spark.createDataFrame(
+        EDGES, "subj string, pred string, obj string, subj_label string, "
+        "obj_label string"
+    )
+    return nodes, edges
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_audit_rel_triples(graph):
+    # cypher_queries.py CYPHER_AUDIT_REL_TRIPLES
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (a)-[r]->(b) "
+        "RETURN DISTINCT labels(a)[0] AS src, type(r) AS rel, "
+        "labels(b)[0] AS dst ORDER BY src, rel, dst",
+    )
+    assert out.columns == ["src", "rel", "dst"]
+    assert ("Class", "INHERITS", "Class") in _rows(out)
+    assert ("Function", "CALLS", "Method") in _rows(out)
+    assert len(_rows(out)) == 6
+
+
+def test_point_lookup_with_props(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (a)-[:CALLS]->(b {qualified_name: 'app.util.helper'}) "
+        "RETURN a.qualified_name AS caller ORDER BY caller",
+    )
+    assert _rows(out) == [("app.main.Svc.go",)]
+
+
+def test_label_alternation_and_where(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n:Function|Method) WHERE n.path STARTS WITH 'app/main' "
+        "AND n.start_line > 1 "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert _rows(out) == [("go",), ("run",)]
+
+
+def test_varlen_closure(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (c:Class)-[:INHERITS*]->(b:Class) "
+        "RETURN c.qualified_name AS cls, b.qualified_name AS anc "
+        "ORDER BY cls, anc",
+    )
+    assert _rows(out) == [
+        ("app.main.Svc", "app.util.Base"),
+        ("app.main.Svc", "app.util.Mid"),
+        ("app.util.Mid", "app.util.Base"),
+    ]
+
+
+def test_grouped_count(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module)-[:DEFINES]->(f) "
+        "RETURN m.qualified_name AS module, count(f) AS n "
+        "ORDER BY n DESC, module",
+    )
+    assert _rows(out) == [("app.util", 3), ("app.main", 2)]
+
+
+def test_global_count_and_in(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n) WHERE n.name IN ['run', 'go', 'helper'] "
+        "RETURN count(*) AS n",
+    )
+    assert _rows(out) == [(3,)]
+
+
+def test_reversed_arrow_and_limit(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (b)<-[:DEFINES]-(m:Module) "
+        "RETURN b.qualified_name AS qn ORDER BY qn LIMIT 2",
+    )
+    assert _rows(out) == [("app.main.Svc",), ("app.main.run",)]
+
+
+def test_multi_hop_chain(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module)-[:DEFINES]->(c:Class)"
+        "-[:DEFINES_METHOD]->(x:Method) "
+        "RETURN m.name AS module, c.name AS cls, x.name AS method",
+    )
+    assert _rows(out) == [("main", "Svc", "go")]
+
+
+def test_or_not_null_contains(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n:Class) WHERE (n.name = 'Base' OR n.name CONTAINS 'id') "
+        "AND n.path IS NOT NULL AND NOT n.name = 'Svc' "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert _rows(out) == [("Base",), ("Mid",)]
+
+
+def test_comma_cross_product(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module), (f:Function) "
+        "RETURN count(*) AS n",
+    )
+    assert _rows(out) == [(4,)]  # 2 modules x 2 functions
+
+
+def test_errors(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(nodes, edges, "MATCH (a)-[:X]->(a) RETURN a")
+    with pytest.raises(CypherError):
+        run_cypher(nodes, edges, "CREATE (a) RETURN a")
+    with pytest.raises(CypherError):
+        run_cypher(nodes, edges, "MATCH (a) RETURN a.no_such_prop")
