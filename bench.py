@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_lsh_candidates",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -123,6 +124,16 @@ def run_bench(
     spark = get_spark(cores=cores, app_name=f"bench_{cores}")
     # warm the JVM/Python workers so measurements are steady-state
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # one small UNTIMED build: the first build in a session pays one-off
+    # Catalyst rule-initialization + Python-worker spin-up (measured ~2x the
+    # steady-state build at 2k docs) that a long-lived cluster job never
+    # sees again — warm it out of the timed legs
+    wdocs = synth_corpus_distributed(spark, 100).persist()
+    wdocs.count()
+    wg = build_graph(wdocs)
+    wg.edges.count()
+    wg.unpersist()
+    wdocs.unpersist()
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
