@@ -1034,6 +1034,22 @@ def kg_cypher_defines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_cypher_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate Cypher (the orphan-audit shape,
+    cypher_queries.py:7-10): callables with no outgoing CALLS, compiled to
+    a left-anti join on the edge frame."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (n:Function|Method) WHERE NOT (n)-[:CALLS]->() "
+        "RETURN labels(n)[0] AS label, n.qualified_name AS qn "
+        "ORDER BY label, qn",
+    )
+
+
 def kg_cypher_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length Cypher ``-[:INHERITS*]->`` (closure-by-doubling) vs
     a recursive-CTE DuckDB oracle."""
@@ -1110,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_audit": kg_cypher_audit,
         "kg_cypher_defines": kg_cypher_defines,
         "kg_cypher_ancestors": kg_cypher_ancestors,
+        "kg_cypher_leaves": kg_cypher_leaves,
     }
 
 
@@ -1286,6 +1303,15 @@ def _kg_oracles() -> dict[str, str]:
             WHERE pred = 'DEFINES' AND subj_label = 'Module'
               AND obj_label = 'Function'
             GROUP BY subj ORDER BY n_funcs DESC, module
+        """,
+        # anti-join twin of the NOT (n)-[:CALLS]->() pattern predicate
+        "kg_cypher_leaves": f"""
+            SELECT n.label, n.id AS qn FROM {nodes_pq} n
+            WHERE n.label IN ('Function', 'Method')
+              AND n.id NOT IN (
+                  SELECT subj FROM {edges_pq} WHERE pred = 'CALLS'
+              )
+            ORDER BY n.label, qn
         """,
         # recursive-CTE twin of the -[:INHERITS*]-> doubling closure
         "kg_cypher_ancestors": f"""

@@ -18,7 +18,11 @@ Supported subset (everything the reference's read queries use):
   doubling — O(log depth) shuffles, same pattern as the inheritance
   closure in ``plans/inherits.py``).
 - ``WHERE`` with AND/OR/NOT, ``=``, ``<>``, ``<``, ``<=``, ``>``, ``>=``,
-  ``STARTS WITH``, ``CONTAINS``, ``IN [...]``, ``IS [NOT] NULL``.
+  ``STARTS WITH``, ``CONTAINS``, ``IN [...]``, ``IS [NOT] NULL``; label
+  predicates ``n:Label``; degree/pattern predicates ``(n)--()``,
+  ``(n)-->()``, ``(n)<--()``, ``(n)-[:REL]->()`` (the reference's orphan
+  audit shape, ``cypher_queries.py:7-10``) — compiled to left-semi /
+  left-anti joins on the edge frame, so they stay distributed.
 - ``RETURN [DISTINCT]`` items: ``x.prop``, ``x`` (the node key),
   ``labels(x)[0]``, ``type(r)``, ``count(*)``, ``count([DISTINCT] expr)``;
   Cypher aggregation semantics (non-aggregate items are the group keys).
@@ -275,13 +279,64 @@ class _Parser:
             self.take()
             return ("not", self._not_expr())
         if self.at("sym", "("):
+            # `(n)--()` pattern predicate vs parenthesized condition:
+            # a pattern is `(` name `)` followed by an edge connector
+            if (
+                self.peek(1)[0] == "name"
+                and self.peek(2) == ("sym", ")")
+                and (self.peek(3) in (("sym", "-"), ("arrow", "<-")))
+            ):
+                return self._pattern_pred()
             self.take()
             e = self._or_expr()
             self.take("sym", ")")
             return e
         return self._cmp()
 
+    def _pattern_pred(self):
+        """Degree predicate ``(var)--()`` / ``(var)-->()`` / ``(var)<--()``
+        with an optional ``[:REL|REL2]`` — the far node must be anonymous
+        and bare in the v1 subset."""
+        self.take("sym", "(")
+        var = self.take("name")[1]
+        self.take("sym", ")")
+        rels: list[str] = []
+
+        def _relspec():
+            if self.at("sym", "["):
+                self.take()
+                if self.at("sym", ":"):
+                    self.take()
+                    rels.append(self.take("name")[1])
+                    while self.at("sym", "|"):
+                        self.take()
+                        rels.append(self.take("name")[1])
+                self.take("sym", "]")
+
+        if self.at("arrow", "<-"):
+            self.take()
+            _relspec()
+            self.take("sym", "-")
+            direction = "in"
+        else:
+            self.take("sym", "-")
+            _relspec()
+            if self.at("arrow", "->"):
+                self.take()
+                direction = "out"
+            else:
+                self.take("sym", "-")
+                direction = "both"
+        self.take("sym", "(")
+        self.take("sym", ")")
+        return ("pattern", var, rels, direction)
+
     def _cmp(self):
+        # label predicate `var:Label` (cypher_queries.py `NOT n:Project`)
+        if self.at("name") and self.peek(1) == ("sym", ":"):
+            var = self.take("name")[1]
+            self.take("sym", ":")
+            return ("labelis", var, self.take("name")[1])
         lhs = self._value_expr()
         t = self.peek()
         if t == ("kw", "IS"):
@@ -445,6 +500,13 @@ def _compile_where(cond) -> F.Column:
         return _compile_where(cond[1]) | _compile_where(cond[2])
     if kind == "not":
         return ~_compile_where(cond[1])
+    if kind == "labelis":
+        return F.col(f"{cond[1]}__label") == cond[2]
+    if kind == "pattern":
+        raise CypherError(
+            "pattern predicates are only supported as top-level AND "
+            "conjuncts (optionally under NOT) — not inside OR"
+        )
     col = _compile_value(cond[1] if kind != "cmp" else cond[2])
     if kind == "isnull":
         return col.isNotNull() if cond[2] else col.isNull()
@@ -585,7 +647,43 @@ def run_cypher(
         df = part if df is None else df.crossJoin(part)
 
     if q.where is not None:
-        df = df.filter(_compile_where(q.where))
+        # peel pattern predicates off the top-level AND conjuncts: they
+        # compile to left-semi (positive) / left-anti (negated) joins on
+        # the edge frame — a distributed degree test, never a collect
+        def conjuncts(c):
+            if c[0] == "and":
+                return conjuncts(c[1]) + conjuncts(c[2])
+            return [c]
+
+        residual = []
+        for c in conjuncts(q.where):
+            pat, anti = None, False
+            if c[0] == "pattern":
+                pat = c
+            elif c[0] == "not" and c[1][0] == "pattern":
+                pat, anti = c[1], True
+            if pat is None:
+                residual.append(c)
+                continue
+            _, var, rels, direction = pat
+            if var not in node_vars:
+                raise CypherError(f"unknown variable {var!r} in pattern")
+            e = edges
+            if rels:
+                e = e.filter(F.col("pred").isin(*rels))
+            sides = []
+            if direction in ("out", "both"):
+                sides.append(e.select(F.col("subj").alias("__pk")))
+            if direction in ("in", "both"):
+                sides.append(e.select(F.col("obj").alias("__pk")))
+            keys = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+            df = df.join(
+                keys,
+                F.col(f"{var}__id") == F.col("__pk"),
+                "left_anti" if anti else "left_semi",
+            )
+        for c in residual:
+            df = df.filter(_compile_where(c))
 
     aggs = [(e, a) for e, a in q.items if e[0] == "count"]
     keys = [(e, a) for e, a in q.items if e[0] != "count"]

@@ -169,6 +169,47 @@ def test_comma_cross_product(graph):
     assert _rows(out) == [(4,)]  # 2 modules x 2 functions
 
 
+def test_orphan_audit_pattern_predicate(graph):
+    # CYPHER_AUDIT_ORPHANS shape: every node in this graph has an edge
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n) WHERE NOT (n)--() AND NOT n:Project "
+        "RETURN labels(n)[0] AS label, count(n) AS orphans",
+    )
+    assert _rows(out) == []
+
+
+def test_leaf_functions_typed_pattern(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n:Function|Method) WHERE NOT (n)-[:CALLS]->() "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert _rows(out) == [("helper",)]
+
+
+def test_no_incoming_direction(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n:Module) WHERE NOT (n)<--() "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert _rows(out) == [("main",), ("util",)]
+
+
+def test_positive_pattern_and_label_predicate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n) WHERE n:Class AND (n)-[:INHERITS]->() "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert _rows(out) == [("Mid",), ("Svc",)]
+
+
 def test_errors(graph):
     nodes, edges = graph
     with pytest.raises(CypherError):
