@@ -1065,6 +1065,199 @@ def kg_cypher_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth12_rows() -> list[dict]:
+    """The entry()-sized corpus (12 docs, 3 funcs, 4 pkgs) as rows — shared
+    by the incremental/watch driver queries and their analytic oracle."""
+    from code_graph_rag_spark.fixtures import synth_corpus_rows
+
+    return synth_corpus_rows(12, funcs_per_doc=3, pkg_fanout=4)
+
+
+_EDGE_COLS = ["subj", "pred", "obj", "subj_label", "obj_label"]
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Fully detach a (small, bounded) result frame from its scratch-dir
+    lineage: collect and rebuild locally, so deleting the temp store/export
+    dir can never race a harness-side recomputation. Only used on final
+    result frames whose size is bounded by the fixture corpus, never on
+    corpus-scaling data."""
+    return df.sparkSession.createDataFrame(df.toPandas(), schema=df.schema)
+
+
+def kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sync ≡ analytic full graph (graph_updater.py:1633-1714
+    hash diff + delete/insert splice): full-build a corpus missing one
+    module and carrying one junk doc, then incrementally ADD the module
+    back and DELETE the junk doc — the synced graph must equal the
+    analytic expected graph of the complete corpus exactly."""
+    import shutil
+    import tempfile
+
+    from code_graph_rag_spark.fixtures import _doc, code, documents_df
+    from code_graph_rag_spark.incremental import (
+        StageStore,
+        full_build,
+        incremental_build,
+    )
+
+    rows = _synth12_rows()
+    v1_rows = [r for r in rows if r["doc_id"] != "synth/pkg001/mod00005.py"]
+    v1_rows.append(
+        _doc("synth/extra.py", code("def extra_fn():\n    return 0\n"))
+    )
+    d = tempfile.mkdtemp(prefix="cgr_incr_store_")
+    try:
+        store = StageStore(d)
+        g1 = full_build(spark, documents_df(spark, v1_rows), store)
+        g1.unpersist()
+        g2, _stats = incremental_build(spark, documents_df(spark, rows), store)
+        out = _pin(g2.edges.select(*_EDGE_COLS))
+        g2.unpersist()
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def kg_watch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watch mode (realtime_updater.py:40-60 as a file-source stream +
+    foreachBatch): two parquet drops — the corpus minus one module, then
+    that module — and the final micro-batch graph must equal the analytic
+    expected graph of the complete corpus."""
+    import shutil
+    import tempfile
+
+    from code_graph_rag_spark.fixtures import documents_df
+    from code_graph_rag_spark.incremental import StageStore
+    from code_graph_rag_spark.streaming.watch import watch_documents
+
+    rows = _synth12_rows()
+    first = [r for r in rows if r["doc_id"] != "synth/pkg001/mod00005.py"]
+    second = [r for r in rows if r["doc_id"] == "synth/pkg001/mod00005.py"]
+    in_dir = tempfile.mkdtemp(prefix="cgr_watch_in_")
+    store_dir = tempfile.mkdtemp(prefix="cgr_watch_store_")
+    last: dict = {}
+
+    def on_batch(graph, stats, epoch):
+        if "graph" in last:
+            last["graph"].unpersist()
+        last["graph"] = graph
+
+    try:
+        documents_df(spark, first).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+        q = watch_documents(
+            spark,
+            in_dir,
+            StageStore(store_dir),
+            trigger_seconds=1,
+            on_batch=on_batch,
+        )
+        try:
+            q.processAllAvailable()
+            documents_df(spark, second).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        g = last["graph"]
+        out = _pin(g.edges.select(*_EDGE_COLS))
+        g.unpersist()
+        return out
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def kg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON export → import round-trip is lossless on the edge set
+    (services/graph_service.py:660-679, graph_loader.py:48-146): imported
+    edges must hash-match the analytic expected edges."""
+    import shutil
+    import tempfile
+
+    from code_graph_rag_spark.export import export_graph, import_graph
+
+    g = _synth_graph(spark)
+    d = tempfile.mkdtemp(prefix="cgr_export_")
+    try:
+        export_graph(g.nodes, g.edges, d)
+        _nodes, edges = import_graph(spark, d)
+        return _pin(edges.select(*_EDGE_COLS))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def kg_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf sink round-trip (services/protobuf_service.py:45-203 wire
+    layout): encode the graph to part files, decode distributed, and the
+    edge set must hash-match the analytic expected edges."""
+    import shutil
+    import tempfile
+
+    from code_graph_rag_spark.export_pb import (
+        export_protobuf_graph,
+        import_protobuf_graph,
+    )
+
+    g = _synth_graph(spark)
+    d = tempfile.mkdtemp(prefix="cgr_pb_")
+    try:
+        nodes_pb = g.nodes.select(
+            "label",
+            F.col("id").alias("qualified_name"),
+            "name",
+            "path",
+            "start_line",
+            "end_line",
+            "props",
+        )
+        export_protobuf_graph(nodes_pb, g.edges, d, merge=False)
+        _nodes, edges = import_protobuf_graph(spark, d)
+        return _pin(edges.select(*_EDGE_COLS))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def kg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped upsert on the StageStore (the reference's
+    create-vs-merge write mode, services/graph_service.py:108-119,512-546):
+    update region-0 names, delete region-4 nations, carry the rest — the
+    read-back snapshot must equal the relational MERGE result."""
+    import shutil
+    import tempfile
+
+    from code_graph_rag_spark.incremental import StageStore
+
+    nation = _t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="cgr_merge_")
+    try:
+        store = StageStore(d)
+        store.write_stage("dim_nation", nation)
+        updates = nation.filter(F.col("n_regionkey") == 0).withColumn(
+            "n_name", F.concat(F.lit("upd_"), F.lower("n_name"))
+        )
+        deletes = nation.filter(F.col("n_regionkey") == 4).select(
+            "n_nationkey"
+        )
+        store.merge_stage(
+            "dim_nation", updates, ["n_nationkey"], delete_keys=deletes
+        )
+        return _pin(
+            store.read_stage(spark, "dim_nation")
+            .select(
+                F.col("n_nationkey").cast("int").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("int").alias("n_regionkey"),
+            )
+            .orderBy("n_nationkey")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1127,6 +1320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_defines": kg_cypher_defines,
         "kg_cypher_ancestors": kg_cypher_ancestors,
         "kg_cypher_leaves": kg_cypher_leaves,
+        # persistence / sync surface (SURVEY §2.1/2.11)
+        "kg_incremental": kg_incremental,
+        "kg_watch_stream": kg_watch_stream,
+        "kg_export_roundtrip": kg_export_roundtrip,
+        "kg_protobuf_roundtrip": kg_protobuf_roundtrip,
+        "kg_merge_upsert": kg_merge_upsert,
     }
 
 
@@ -1168,6 +1367,13 @@ def _write_kg_oracle_tables() -> str:
     pq.write_table(
         _tbl(edges, ["subj", "pred", "obj", "subj_label", "obj_label"]),
         f"{_KG_ORACLE_DIR}/edges.parquet",
+    )
+    # entry()-sized expected graph: the incremental/watch queries converge
+    # to the complete 12-doc corpus, so their oracle is its analytic twin
+    _n12, edges12 = synth_expected_graph(12, funcs_per_doc=3, pkg_fanout=4)
+    pq.write_table(
+        _tbl(edges12, ["subj", "pred", "obj", "subj_label", "obj_label"]),
+        f"{_KG_ORACLE_DIR}/edges12.parquet",
     )
     dead = synth_expected_dead_code(8, funcs_per_doc=3, pkg_fanout=3)
     pq.write_table(
@@ -1249,9 +1455,32 @@ def _kg_oracles() -> dict[str, str]:
     d = _write_kg_oracle_tables()
     edges_pq = f"read_parquet('{d}/edges.parquet')"
     nodes_pq = f"read_parquet('{d}/nodes.parquet')"
+    edges12_pq = f"read_parquet('{d}/edges12.parquet')"
     return {
         "kg_triples": f"""
             SELECT subj, pred, obj, subj_label, obj_label FROM {edges_pq}
+        """,
+        "kg_incremental": f"""
+            SELECT subj, pred, obj, subj_label, obj_label FROM {edges12_pq}
+        """,
+        "kg_watch_stream": f"""
+            SELECT subj, pred, obj, subj_label, obj_label FROM {edges12_pq}
+        """,
+        "kg_export_roundtrip": f"""
+            SELECT subj, pred, obj, subj_label, obj_label FROM {edges_pq}
+        """,
+        "kg_protobuf_roundtrip": f"""
+            SELECT subj, pred, obj, subj_label, obj_label FROM {edges_pq}
+        """,
+        "kg_merge_upsert": """
+            SELECT n_nationkey::INT AS n_nationkey,
+                   CASE WHEN n_regionkey = 0
+                        THEN 'upd_' || lower(n_name)
+                        ELSE n_name END AS n_name,
+                   n_regionkey::INT AS n_regionkey
+            FROM nation
+            WHERE n_regionkey <> 4
+            ORDER BY n_nationkey
         """,
         "kg_nodes": f"SELECT label, id, name FROM {nodes_pq}",
         "kg_stats": f"""
