@@ -867,6 +867,118 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: pigeonhole banding (4 bands of 15
+    bits → hamming ≤ 3 pairs must share a band) + bit_count verification;
+    band-bucket cap mirrored in the oracle."""
+    from code_graph_rag_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _stream_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1):
+    """Copy the events parquet into a scratch dir a file stream can own
+    (sentinel drops append files; the testdata dir is read-only)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cgr_evstream_")
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-{i}.parquet")
+    return d
+
+
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hourly: tumbling 1-hour window + watermark
+    in APPEND mode — rows only emit when the watermark closes their window,
+    so an exact match against the batch oracle proves the flush path."""
+    import shutil
+
+    from code_graph_rag_spark.streaming import events as EV
+
+    d = _stream_events_dir(spark, sf_dir)
+    try:
+        out = EV.run_bounded(spark, d, EV.hourly_events)
+        return _pin(
+            out.filter(F.col("event_type") != EV.SENTINEL_TYPE).orderBy(
+                "hour", "event_type"
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via native session_window (30-min gap,
+    append mode); the per-session stream output is rolled up in batch to
+    the same (n_sessions, max_session_events) shape as events_sessionize.
+    Exact gap semantics: a session's window end is INCLUSIVE (an event at
+    exactly last_ts + 1800s merges), so new session iff gap > 1800s on
+    microsecond timestamps — the oracle uses epoch_us."""
+    import shutil
+
+    from code_graph_rag_spark.streaming import events as EV
+
+    d = _stream_events_dir(spark, sf_dir)
+    try:
+        out = EV.run_bounded(spark, d, EV.session_events)
+        return _pin(
+            out.filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.max("n_events").alias("max_session_events"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source file is dropped TWICE into the
+    stream; dropDuplicates keyed on (event_id, ts) — the event-time key
+    lets the state store evict below the watermark — must reduce the
+    doubled input back to the batch per-type aggregate."""
+    import shutil
+
+    from code_graph_rag_spark.streaming import events as EV
+
+    d = _stream_events_dir(spark, sf_dir, copies=2)
+    try:
+        out = EV.run_bounded(spark, d, EV.dedup_events)
+        return _pin(
+            out.filter(F.col("event_type") != EV.SENTINEL_TYPE)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def events_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState +
+    event-time timeout): per-user counts held in state and emitted exactly
+    once when the watermark passes last-event + 30 min — must equal the
+    batch GROUP BY."""
+    import shutil
+
+    from code_graph_rag_spark.streaming import events as EV
+
+    d = _stream_events_dir(spark, sf_dir)
+    try:
+        out = EV.run_bounded(spark, d, EV.user_counts_stateful)
+        return _pin(out.filter(F.col("user_id") >= 0).orderBy("user_id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding candidates (band hash is hash60 → the oracle
     replays the banding in SQL; DuckDB-verified)."""
@@ -1326,6 +1438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_roundtrip": kg_export_roundtrip,
         "kg_protobuf_roundtrip": kg_protobuf_roundtrip,
         "kg_merge_upsert": kg_merge_upsert,
+        # SimHash near-dup pairs (SURVEY §2 dedup family)
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        # Structured Streaming operators (watermark windows, session
+        # windows, streaming dedup, custom stateful op)
+        "events_stream_hourly": events_stream_hourly,
+        "events_stream_sessions": events_stream_sessions,
+        "events_stream_dedup": events_stream_dedup,
+        "events_stream_user_counts": events_stream_user_counts,
     }
 
 
@@ -2133,6 +2253,82 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
                             ELSE 0::BIGINT END)::BIGINT AS simhash
             FROM bitsums GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), h AS (
+                SELECT doc_id, {_HASH60.format(expr="shingle")} AS h FROM sh
+            ), bitsums AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
+                GROUP BY 1, 2
+            ), fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                                ELSE 0::BIGINT END)::BIGINT AS simhash
+                FROM bitsums GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, simhash, b AS band,
+                       (simhash >> (b * 15)) & 32767 AS band_val
+                FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+            ), keep AS (
+                SELECT band, band_val FROM banded
+                GROUP BY 1, 2 HAVING count(*) <= 4096
+            ), cb AS (
+                SELECT banded.* FROM banded
+                SEMI JOIN keep USING (band, band_val)
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+                FROM cb a JOIN cb b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, hamming FROM pairs
+            WHERE hamming <= 3 ORDER BY doc_a, doc_b
+        """,
+        "events_stream_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS total_value,
+                   cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS sum_k
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "events_stream_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM marked
+            ), per_sess AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "events_stream_dedup": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_stream_user_counts": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "dedup_lsh_candidates": _lsh_candidates_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

@@ -275,6 +275,85 @@ def simhash(documents: DataFrame, bits: int = 60, n: int = 3) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_near_dups(
+    documents: DataFrame,
+    bits: int = 60,
+    n: int = 3,
+    max_hamming: int = 3,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding.
+
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous
+    bands: a pair within hamming distance ``max_hamming`` has at most
+    ``max_hamming`` differing bands, so it agrees EXACTLY on at least one —
+    candidate generation is an equi-join on (band, band_value), never an
+    all-pairs scan. Candidates verify with ``bit_count(a XOR b)``.
+
+    ``max_bucket`` caps degenerate bands (the all-zeros band of boilerplate
+    corpora) with the same groupBy + left-semi pattern as
+    ``lsh_candidate_pairs`` — a capped doc still pairs through its other,
+    more selective bands; clusters identical across EVERY band beyond the
+    cap are exact-dedup's job, not near-dup's. Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b, fully DuckDB-replayable.
+    """
+    nb = max_hamming + 1
+    width = bits // nb
+    # band b covers bits [b*width, (b+1)*width); the last band also takes
+    # the bits % nb remainder so the union covers every bit (pigeonhole
+    # needs full coverage)
+    masks = [
+        (b * width, (1 << (width + (bits - nb * width if b == nb - 1 else 0))) - 1)
+        for b in range(nb)
+    ]
+    fps = simhash(documents, bits, n).persist()
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", off).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for off, mask in masks
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_val")
+        )
+        banded = banded.join(small, ["band", "band_val"], "left_semi")
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "band_val",
+    )
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def dedup_keep_first(documents: DataFrame) -> DataFrame:
     """The end-to-end exact-dedup operator: keep the lowest doc_id per
     normalized-content group (deterministic winner)."""

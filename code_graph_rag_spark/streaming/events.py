@@ -1,0 +1,233 @@
+"""Event-stream operators: watermarked windows, session windows, streaming
+dedup, and a custom stateful operator (``applyInPandasWithState``).
+
+The reference engine is batch-only on the query side; this module covers
+the training-data-pipeline streaming surface Spark adds on top — the same
+aggregations the batch oracles verify, expressed as Structured Streaming
+plans with event-time watermarks:
+
+- ``hourly_events``       tumbling 1-hour window + watermark (append mode)
+- ``session_events``      native ``session_window`` gap sessionization
+- ``dedup_events``        ``dropDuplicates`` with event-time state eviction
+- ``user_counts_stateful`` custom per-key state machine via
+  ``applyInPandasWithState`` + event-time timeout
+
+Append-mode emission is bounded deterministically by ``run_bounded``:
+after the real input is processed, two far-future *sentinel* rows are
+dropped as extra source files so the watermark passes every real window /
+state timeout and the closed results flush to the sink. Sentinel rows are
+marked (negative ids / ``_sentinel_`` type) so callers filter them out.
+
+Scale notes (100 TB): every operator here keys its state on the shuffle
+key (window×type, session×user, event-id, user) — state stores partition
+with the shuffle, and the watermark bounds state size; nothing buffers
+unboundedly. The only driver-side work is the bounded final result.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAP_SECONDS = 1800  # 30-min inactivity gap, matching the batch sessionizer
+SENTINEL_TYPE = "_sentinel_"
+
+
+def _evt(stream: DataFrame) -> DataFrame:
+    """Event-time column: the parquet ``ts`` is TIMESTAMP_NTZ, but
+    watermarks require TIMESTAMP — cast (exact: session tz is pinned UTC).
+    Builders cast window columns back to ntz so results compare 1:1 with
+    the batch tables."""
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# builders (stream DataFrame -> stream DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def hourly_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window aggregation with a late-data watermark —
+    the streaming twin of the batch ``events_hourly`` query. Rows later
+    than ``watermark`` behind the max seen event time are dropped."""
+    return (
+        _evt(stream)
+        .withWatermark("ts", watermark)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+            "sum_k",
+        )
+    )
+
+
+def session_events(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization via native ``session_window`` (30-min
+    inactivity gap). Emits one row per closed (user, session) with its
+    event count; a session closes when the watermark passes its end.
+
+    Exact semantics: the session window end is INCLUSIVE — an event at
+    exactly ``last_ts + gap`` merges into the session — so the batch twin
+    is ``new session iff gap > 1800s`` on microsecond timestamps (the same
+    rule as the batch sessionizer).
+    """
+    return (
+        _evt(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event id. ``ts`` is part of the dedup key
+    so the state store can evict rows older than the watermark — without
+    an event-time column in the subset the state grows forever."""
+    return (
+        _evt(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+    )
+
+
+def user_counts_stateful(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    gap_seconds: int = GAP_SECONDS,
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count kept in an
+    ``applyInPandasWithState`` state store with an event-time timeout —
+    the final count for a user is emitted exactly once, when the watermark
+    passes ``last event + gap`` (i.e. the user went quiet). This is the
+    Spark-native shape for reference-style "flush on inactivity" state
+    machines (realtime_updater debounce) over unbounded keys."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def _fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, _last_ms = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+            return
+        n, last_ms = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            if len(pdf):
+                n += len(pdf)
+                last_ms = max(last_ms, int(pdf["ts"].max().value // 10**6))
+        state.update((n, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        _evt(stream)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint, last_ms bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded runner
+# ---------------------------------------------------------------------------
+
+
+def _sentinel_rows(spark: SparkSession, source_dir: str) -> list[dict]:
+    """Two far-future sentinel event rows (30d and 31d past the max real
+    event time). Two drops are needed: the first advances the watermark
+    past every real window, the second guarantees a batch runs WITH that
+    watermark so closed state flushes to the sink."""
+    import datetime
+
+    max_ts = (
+        spark.read.parquet(source_dir).agg(F.max("ts").alias("m")).first().m
+    )
+    return [
+        {
+            "event_id": -1 - i,
+            "ts": max_ts + datetime.timedelta(days=30 + i),
+            "user_id": -1,
+            "event_type": SENTINEL_TYPE,
+            "value": 0.0,
+            "props": "{}",
+        }
+        for i in range(2)
+    ]
+
+
+def run_bounded(
+    spark: SparkSession,
+    source_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+    extra_drops: list[list[dict]] | None = None,
+) -> DataFrame:
+    """Run an append-mode stream over the parquet files in ``source_dir``
+    to completion: process the real input, optionally drop ``extra_drops``
+    batches (e.g. late rows for a drop test), then flush all watermarked
+    state with two sentinel drops. Returns the sink contents as a batch
+    DataFrame (sentinels NOT filtered — callers own that, so drop tests
+    can see exactly what was emitted)."""
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(source_dir).schema
+    name = "evs_" + uuid.uuid4().hex
+    ckpt = tempfile.mkdtemp(prefix="cgr_evs_ckpt_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for rows in (extra_drops or []) + [
+            [r] for r in _sentinel_rows(spark, source_dir)
+        ]:
+            spark.createDataFrame(rows, schema=schema).coalesce(
+                1
+            ).write.mode("append").parquet(source_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # pin: the memory sink outlives q.stop(), but callers delete source_dir
+    out = spark.table(name)
+    return spark.createDataFrame(out.toPandas(), schema=out.schema)
