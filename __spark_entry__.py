@@ -1162,6 +1162,53 @@ def kg_cypher_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_cypher_optional_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH (the reference's project-structure query shape,
+    cypher_queries.py:31-33): every module with its import targets, or a
+    null row when it imports nothing — compiled to a left outer join."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (m:Module) OPTIONAL MATCH (m)-[:IMPORTS]->(t:Module) "
+        "RETURN m.qualified_name AS mod, t.qualified_name AS target "
+        "ORDER BY mod, target",
+    )
+
+
+def kg_cypher_parent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH pipeline (the reference's damaged-structure probe shape,
+    cypher_queries.py:44-48 ``WITH n, count(parent) AS parents WHERE
+    ...``): in-degree distribution of CALLS — aggregate in WITH, then
+    re-aggregate over the alias in RETURN."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (parent)-[:CALLS]->(n) WITH n, count(parent) AS parents "
+        "WHERE parents >= 1 RETURN parents, count(n) AS n_nodes "
+        "ORDER BY parents",
+    )
+
+
+def kg_cypher_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND labels(n) + toLower (CYPHER_AUDIT_LABELS,
+    cypher_queries.py:11): the distinct label vocabulary, lowercased."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (n) UNWIND labels(n) AS label "
+        "RETURN DISTINCT toLower(label) AS label ORDER BY label",
+    )
+
+
 def kg_cypher_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length Cypher ``-[:INHERITS*]->`` (closure-by-doubling) vs
     a recursive-CTE DuckDB oracle."""
@@ -1432,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_defines": kg_cypher_defines,
         "kg_cypher_ancestors": kg_cypher_ancestors,
         "kg_cypher_leaves": kg_cypher_leaves,
+        "kg_cypher_optional_imports": kg_cypher_optional_imports,
+        "kg_cypher_parent_dist": kg_cypher_parent_dist,
+        "kg_cypher_labels": kg_cypher_labels,
         # persistence / sync surface (SURVEY §2.1/2.11)
         "kg_incremental": kg_incremental,
         "kg_watch_stream": kg_watch_stream,
@@ -1661,6 +1711,28 @@ def _kg_oracles() -> dict[str, str]:
                   SELECT subj FROM {edges_pq} WHERE pred = 'CALLS'
               )
             ORDER BY n.label, qn
+        """,
+        # left-outer-join twin of OPTIONAL MATCH
+        "kg_cypher_optional_imports": f"""
+            SELECT m.id AS mod, e.obj AS target
+            FROM {nodes_pq} m LEFT JOIN {edges_pq} e
+              ON e.subj = m.id AND e.subj_label = 'Module'
+             AND e.pred = 'IMPORTS' AND e.obj_label = 'Module'
+            WHERE m.label = 'Module'
+            ORDER BY mod, target
+        """,
+        # WITH-pipeline twin: aggregate, filter on the alias, re-aggregate
+        "kg_cypher_parent_dist": f"""
+            SELECT parents, count(*) AS n_nodes FROM (
+                SELECT obj, obj_label, count(*) AS parents
+                FROM {edges_pq} WHERE pred = 'CALLS'
+                GROUP BY obj, obj_label
+            ) WHERE parents >= 1
+            GROUP BY parents ORDER BY parents
+        """,
+        "kg_cypher_labels": f"""
+            SELECT DISTINCT lower(label) AS label FROM {nodes_pq}
+            ORDER BY label
         """,
         # recursive-CTE twin of the -[:INHERITS*]-> doubling closure
         "kg_cypher_ancestors": f"""

@@ -23,9 +23,20 @@ Supported subset (everything the reference's read queries use):
   ``(n)-->()``, ``(n)<--()``, ``(n)-[:REL]->()`` (the reference's orphan
   audit shape, ``cypher_queries.py:7-10``) — compiled to left-semi /
   left-anti joins on the edge frame, so they stay distributed.
+- ``OPTIONAL MATCH`` chains anchored on a bound variable (the reference's
+  project-structure query, ``cypher_queries.py:31-33``) — compiled to left
+  outer joins; chained optionals propagate nulls.
+- ``WITH [DISTINCT] items [WHERE cond]`` pipeline stages (the
+  damaged-structure probe ``WITH n, count(parent) AS parents WHERE parents
+  > 1``, ``cypher_queries.py:44-48``): bare variables pass through, count()
+  aggregates with the other items as group keys, aliases shadow variables
+  downstream.
+- ``UNWIND labels(n) AS l`` (CYPHER_AUDIT_LABELS — a label projection here,
+  since the store is one row per label).
 - ``RETURN [DISTINCT]`` items: ``x.prop``, ``x`` (the node key),
-  ``labels(x)[0]``, ``type(r)``, ``count(*)``, ``count([DISTINCT] expr)``;
-  Cypher aggregation semantics (non-aggregate items are the group keys).
+  ``labels(x)[0]``, ``type(r)``, ``toLower(expr)``, literals, ``count(*)``,
+  ``count([DISTINCT] expr)``; Cypher aggregation semantics (non-aggregate
+  items are the group keys).
 - ``ORDER BY alias [ASC|DESC], ...`` and ``LIMIT n``.
 
 Node property names map onto the node-frame columns; ``qualified_name`` is
@@ -59,7 +70,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY", "LIMIT",
     "AND", "OR", "NOT", "IS", "NULL", "STARTS", "WITH", "CONTAINS", "IN",
-    "DESC", "ASC", "COUNT", "LABELS", "TYPE",
+    "DESC", "ASC", "COUNT", "LABELS", "TYPE", "OPTIONAL", "UNWIND",
+    "TOLOWER",
 }
 
 
@@ -106,9 +118,20 @@ class EdgePat:
 
 
 @dataclass
+class WithStage:
+    distinct: bool
+    items: list[tuple[tuple, str]]  # (expr, alias)
+    where: object | None
+
+
+@dataclass
 class Query:
     chains: list[list]  # alternating NodePat / EdgePat
+    pre_where: object | None  # WHERE before OPTIONAL MATCH clauses
+    optional_chains: list[list]  # one chain per OPTIONAL MATCH clause
     where: object | None
+    unwind: tuple[str, str] | None  # UNWIND labels(var) AS alias
+    withs: list[WithStage]
     distinct: bool
     items: list[tuple[tuple, str]]  # (expr, alias)
     order: list[tuple[str, bool]]  # (alias, desc)
@@ -145,10 +168,47 @@ class _Parser:
         while self.at("sym", ","):
             self.take()
             chains.append(self._chain())
+        pre_where = None
+        if self.at("kw", "WHERE"):
+            self.take()
+            pre_where = self._or_expr()
+        optional_chains: list[list] = []
+        while self.at("kw", "OPTIONAL"):
+            self.take()
+            self.take("kw", "MATCH")
+            optional_chains.append(self._chain())
         where = None
         if self.at("kw", "WHERE"):
             self.take()
             where = self._or_expr()
+        unwind = None
+        if self.at("kw", "UNWIND"):
+            # UNWIND labels(n) AS l — the one UNWIND shape the reference's
+            # audit queries use; our store is one row per label, so this is
+            # a projection of the row's label, not a row multiplier
+            self.take()
+            self.take("kw", "LABELS")
+            self.take("sym", "(")
+            uvar = self.take("name")[1]
+            self.take("sym", ")")
+            self.take("kw", "AS")
+            unwind = (uvar, self.take("name")[1])
+        withs: list[WithStage] = []
+        while self.at("kw", "WITH"):
+            self.take()
+            wdist = False
+            if self.at("kw", "DISTINCT"):
+                self.take()
+                wdist = True
+            witems = [self._ret_item()]
+            while self.at("sym", ","):
+                self.take()
+                witems.append(self._ret_item())
+            wwhere = None
+            if self.at("kw", "WHERE"):
+                self.take()
+                wwhere = self._or_expr()
+            withs.append(WithStage(wdist, witems, wwhere))
         self.take("kw", "RETURN")
         distinct = False
         if self.at("kw", "DISTINCT"):
@@ -172,7 +232,10 @@ class _Parser:
             limit = int(self.take("num")[1])
         if self.peek()[0] != "eof":
             raise CypherError(f"trailing tokens at {self.peek()}")
-        return Query(chains, where, distinct, items, order, limit)
+        return Query(
+            chains, pre_where, optional_chains, where, unwind, withs,
+            distinct, items, order, limit,
+        )
 
     _anon = 0
 
@@ -402,6 +465,14 @@ class _Parser:
             var = self.take("name")[1]
             self.take("sym", ")")
             return ("type", var)
+        if t == ("kw", "TOLOWER"):
+            self.take()
+            self.take("sym", "(")
+            inner = self._value_expr()
+            self.take("sym", ")")
+            return ("lower", inner)
+        if t[0] in ("num", "str") or t == ("kw", "NULL"):
+            return ("lit", self._literal())
         var = self.take("name")[1]
         if self.at("sym", "."):
             self.take()
@@ -448,6 +519,8 @@ def _default_alias(expr: tuple) -> str:
         return "rel"
     if kind == "count":
         return "n"
+    if kind == "lower":
+        return _default_alias(expr[1])
     return "expr"
 
 
@@ -492,14 +565,18 @@ def _closure_pairs(pairs: DataFrame, doublings: int = 4) -> DataFrame:
     return clo
 
 
-def _compile_where(cond) -> F.Column:
+def _compile_where(cond, aliases: frozenset = frozenset()) -> F.Column:
     kind = cond[0]
     if kind == "and":
-        return _compile_where(cond[1]) & _compile_where(cond[2])
+        return _compile_where(cond[1], aliases) & _compile_where(
+            cond[2], aliases
+        )
     if kind == "or":
-        return _compile_where(cond[1]) | _compile_where(cond[2])
+        return _compile_where(cond[1], aliases) | _compile_where(
+            cond[2], aliases
+        )
     if kind == "not":
-        return ~_compile_where(cond[1])
+        return ~_compile_where(cond[1], aliases)
     if kind == "labelis":
         return F.col(f"{cond[1]}__label") == cond[2]
     if kind == "pattern":
@@ -507,7 +584,7 @@ def _compile_where(cond) -> F.Column:
             "pattern predicates are only supported as top-level AND "
             "conjuncts (optionally under NOT) — not inside OR"
         )
-    col = _compile_value(cond[1] if kind != "cmp" else cond[2])
+    col = _compile_value(cond[1] if kind != "cmp" else cond[2], aliases)
     if kind == "isnull":
         return col.isNotNull() if cond[2] else col.isNull()
     if kind == "startswith":
@@ -529,17 +606,81 @@ def _compile_where(cond) -> F.Column:
     raise CypherError(f"bad condition {cond!r}")
 
 
-def _compile_value(expr: tuple) -> F.Column:
+def _compile_value(expr: tuple, aliases: frozenset = frozenset()) -> F.Column:
     kind = expr[0]
     if kind == "prop":
         return F.col(_node_col(expr[1], expr[2]))
     if kind == "var":
+        # a WITH alias shadows the node-variable namespace downstream
+        if expr[1] in aliases:
+            return F.col(expr[1])
         return F.col(f"{expr[1]}__id")
     if kind == "label":
         return F.col(f"{expr[1]}__label")
     if kind == "type":
         return F.col(f"{expr[1]}__pred")
+    if kind == "lower":
+        return F.lower(_compile_value(expr[1], aliases))
+    if kind == "lit":
+        return F.lit(expr[1])
     raise CypherError(f"not a scalar expression: {expr!r}")
+
+
+def _apply_with(
+    df: DataFrame,
+    stage: WithStage,
+    aliases: set[str],
+    node_vars: dict,
+) -> tuple[DataFrame, set[str], dict]:
+    """One ``WITH`` pipeline stage (Cypher's horizon): project/aggregate the
+    listed items, then optionally filter. A bare node variable passes all of
+    its columns through (so ``n.prop`` still works downstream); expression
+    items become plain alias columns that shadow the variable namespace;
+    count() items aggregate with the non-aggregate items as group keys
+    (Cypher aggregation semantics). Variables not listed fall out of scope,
+    exactly like the reference's damaged-structure probe
+    ``WITH n, count(parent) AS parents WHERE parents > 1``."""
+    fro = frozenset(aliases)
+    passthrough: list[str] = []
+    scalars: list[tuple[tuple, str]] = []
+    aggs: list[tuple[tuple, str]] = []
+    for e, a in stage.items:
+        if e[0] == "count":
+            aggs.append((e, a))
+        elif e[0] == "var" and e[1] not in fro and e[1] in node_vars:
+            passthrough.append(e[1])
+        else:
+            scalars.append((e, a))
+    key_cols = [
+        c
+        for v in passthrough
+        for c in df.columns
+        if c.startswith(f"{v}__")
+    ]
+    scalar_cols = [_compile_value(e, fro).alias(a) for e, a in scalars]
+    if aggs:
+        agg_cols = []
+        for e, a in aggs:
+            _, dist, inner = e
+            if inner is None:
+                agg_cols.append(F.count(F.lit(1)).alias(a))
+            elif dist:
+                agg_cols.append(
+                    F.countDistinct(_compile_value(inner, fro)).alias(a)
+                )
+            else:
+                agg_cols.append(F.count(_compile_value(inner, fro)).alias(a))
+        gb = [F.col(c) for c in key_cols] + scalar_cols
+        df = df.groupBy(*gb).agg(*agg_cols) if gb else df.agg(*agg_cols)
+    else:
+        df = df.select(*([F.col(c) for c in key_cols] + scalar_cols))
+        if stage.distinct:
+            df = df.distinct()
+    new_aliases = set(aliases) | {a for _, a in scalars} | {a for _, a in aggs}
+    new_vars = {v: node_vars[v] for v in passthrough}
+    if stage.where is not None:
+        df = df.filter(_compile_where(stage.where, frozenset(new_aliases)))
+    return df, new_aliases, new_vars
 
 
 def run_cypher(
@@ -573,10 +714,16 @@ def run_cypher(
 
     df: DataFrame | None = None
     eidx = 0
-    for chain in q.chains:
+
+    def compile_chain(chain: list, rebind: frozenset = frozenset()):
+        """One MATCH chain → a joined part frame. ``rebind`` names node
+        variables that are ALLOWED to re-appear (the shared anchors of an
+        OPTIONAL MATCH — their re-derived columns are join keys that the
+        caller renames and drops)."""
+        nonlocal eidx
         left = chain[0]
         part = node_df(left)
-        if left.var in node_vars:
+        if left.var in node_vars and left.var not in rebind:
             raise CypherError(f"duplicate node variable {left.var!r}")
         node_vars[left.var] = part
         i = 1
@@ -635,7 +782,7 @@ def run_cypher(
                     f"__e{eidx}_dstlab",
                 ]
             part = part.join(pairs, lcond)
-            if right.var in node_vars:
+            if right.var in node_vars and right.var not in rebind:
                 raise CypherError(
                     f"duplicate node variable {right.var!r} (cycles and "
                     "shared-variable comma patterns are out of the v1 subset)"
@@ -644,9 +791,13 @@ def run_cypher(
             part = part.join(rdf, rcond).drop(*drop)
             node_vars[right.var] = rdf
             i += 2
+        return part
+
+    for chain in q.chains:
+        part = compile_chain(chain)
         df = part if df is None else df.crossJoin(part)
 
-    if q.where is not None:
+    def apply_where(d: DataFrame, where, aliases: frozenset) -> DataFrame:
         # peel pattern predicates off the top-level AND conjuncts: they
         # compile to left-semi (positive) / left-anti (negated) joins on
         # the edge frame — a distributed degree test, never a collect
@@ -656,7 +807,7 @@ def run_cypher(
             return [c]
 
         residual = []
-        for c in conjuncts(q.where):
+        for c in conjuncts(where):
             pat, anti = None, False
             if c[0] == "pattern":
                 pat = c
@@ -677,27 +828,78 @@ def run_cypher(
             if direction in ("in", "both"):
                 sides.append(e.select(F.col("obj").alias("__pk")))
             keys = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-            df = df.join(
+            d = d.join(
                 keys,
                 F.col(f"{var}__id") == F.col("__pk"),
                 "left_anti" if anti else "left_semi",
             )
         for c in residual:
-            df = df.filter(_compile_where(c))
+            d = d.filter(_compile_where(c, aliases))
+        return d
 
+    if q.pre_where is not None:
+        # a WHERE before OPTIONAL MATCH binds to the required pattern —
+        # applying it before the left joins keeps optional rows intact
+        df = apply_where(df, q.pre_where, frozenset())
+
+    for oc in q.optional_chains:
+        # OPTIONAL MATCH = left outer join of the optional pattern against
+        # the rows matched so far, keyed on the shared (already-bound)
+        # variables; unmatched rows carry nulls for the new variables —
+        # exactly Cypher's semantics, and chained optionals propagate nulls
+        # (a null anchor key never equi-matches).
+        if oc[0].var not in node_vars:
+            raise CypherError(
+                "OPTIONAL MATCH must start from an already-bound variable"
+            )
+        shared = [
+            n.var for n in oc[::2] if isinstance(n, NodePat)
+            and n.var in node_vars
+        ]
+        part = compile_chain(oc, rebind=frozenset(shared))
+        ren: list[str] = []
+        for v in shared:
+            for c in [c for c in part.columns if c.startswith(f"{v}__")]:
+                part = part.withColumnRenamed(c, f"__r_{c}")
+                ren.append(f"__r_{c}")
+        cond = None
+        for v in shared:
+            c = (F.col(f"{v}__id") == F.col(f"__r_{v}__id")) & (
+                F.col(f"{v}__label") == F.col(f"__r_{v}__label")
+            )
+            cond = c if cond is None else cond & c
+        df = df.join(part, cond, "left").drop(*ren)
+
+    if q.where is not None:
+        df = apply_where(df, q.where, frozenset())
+
+    aliases: set[str] = set()
+    if q.unwind is not None:
+        uvar, ualias = q.unwind
+        if uvar not in node_vars:
+            raise CypherError(f"unknown variable {uvar!r} in UNWIND")
+        df = df.withColumn(ualias, F.col(f"{uvar}__label"))
+        aliases.add(ualias)
+
+    for stage in q.withs:
+        df, aliases, node_vars = _apply_with(df, stage, aliases, node_vars)
+
+    fro = frozenset(aliases)
     aggs = [(e, a) for e, a in q.items if e[0] == "count"]
     keys = [(e, a) for e, a in q.items if e[0] != "count"]
     if aggs:
-        key_cols = [_compile_value(e).alias(a) for e, a in keys]
+        key_cols = [_compile_value(e, fro).alias(a) for e, a in keys]
         agg_cols = []
         for e, a in aggs:
             _, dist, inner = e
             if inner is None:
                 agg_cols.append(F.count(F.lit(1)).alias(a))
             elif dist:
-                agg_cols.append(F.countDistinct(_compile_value(inner)).alias(a))
+                agg_cols.append(
+                    F.countDistinct(_compile_value(inner, fro)).alias(a)
+                )
             else:
-                agg_cols.append(F.count(_compile_value(inner)).alias(a))
+                agg_cols.append(F.count(_compile_value(inner, fro)).alias(a))
         df = (
             df.groupBy(*key_cols).agg(*agg_cols)
             if key_cols
@@ -705,7 +907,7 @@ def run_cypher(
         )
         out = df
     else:
-        out = df.select(*[_compile_value(e).alias(a) for e, a in q.items])
+        out = df.select(*[_compile_value(e, fro).alias(a) for e, a in q.items])
         if q.distinct:
             out = out.distinct()
 

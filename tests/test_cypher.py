@@ -218,3 +218,119 @@ def test_errors(graph):
         run_cypher(nodes, edges, "CREATE (a) RETURN a")
     with pytest.raises(CypherError):
         run_cypher(nodes, edges, "MATCH (a) RETURN a.no_such_prop")
+
+
+# --- v1.1 extensions: OPTIONAL MATCH, WITH pipelines, UNWIND, toLower ----
+
+
+def test_optional_match_nulls_and_matches(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module) OPTIONAL MATCH (m)-[:DEFINES]->(f:Method) "
+        "RETURN m.name AS mod, f.name AS meth ORDER BY mod",
+    )
+    assert _rows(out) == [("main", None), ("util", None)]
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module) WHERE m.name = 'util' "
+        "OPTIONAL MATCH (m)-[:DEFINES]->(c:Class) "
+        "RETURN m.name AS mod, c.name AS cls ORDER BY cls",
+    )
+    assert _rows(out) == [("util", "Base"), ("util", "Mid")]
+
+
+def test_chained_optional_match_propagates_nulls(graph):
+    # the reference's project-structure shape (cypher_queries.py:31-33):
+    # a second OPTIONAL MATCH anchored on the first one's variable
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module {qualified_name: 'app.main'}) "
+        "OPTIONAL MATCH (m)-[:DEFINES*]->(d) "
+        "OPTIONAL MATCH (d)-[:DEFINES_METHOD]->(meth) "
+        "RETURN m.name AS mod, d.name AS d, meth.name AS meth ORDER BY d",
+    )
+    rows = _rows(out)
+    assert ("main", "Svc", "go") in rows
+    assert ("main", "run", None) in rows
+
+
+def test_optional_is_null_filter(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module) OPTIONAL MATCH (m)-[:DEFINES]->(f:Method) "
+        "WHERE f IS NULL RETURN m.name AS mod ORDER BY mod",
+    )
+    assert _rows(out) == [("main",), ("util",)]
+
+
+def test_with_aggregate_then_where(graph):
+    # the reference's damaged-structure probe shape (cypher_queries.py:44-48)
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (parent)-[:DEFINES]->(n) WITH n, count(parent) AS parents "
+        "WHERE parents > 1 RETURN 1 AS damaged LIMIT 1",
+    )
+    assert _rows(out) == []  # no multi-parent in the fixture
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m)-[:DEFINES]->(n) WITH m, count(n) AS defs "
+        "WHERE defs > 2 RETURN m.name AS name, defs",
+    )
+    assert _rows(out) == [("util", 3)]
+
+
+def test_return_aggregates_over_with_alias(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (m:Module)-[:DEFINES]->(n) WITH m, count(n) AS defs "
+        "RETURN count(m) AS mods, count(DISTINCT defs) AS distinct_defs",
+    )
+    assert _rows(out) == [(2, 2)]
+
+
+def test_with_distinct_passthrough(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (a)-[:DEFINES]->(n) WITH DISTINCT a "
+        "RETURN count(a) AS n_definers",
+    )
+    assert _rows(out) == [(2,)]
+
+
+def test_unwind_labels_distinct(graph):
+    # CYPHER_AUDIT_LABELS (cypher_queries.py:11)
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (n) UNWIND labels(n) AS label "
+        "RETURN DISTINCT label ORDER BY label",
+    )
+    assert [r[0] for r in _rows(out)] == [
+        "Class", "Function", "Method", "Module",
+    ]
+
+
+def test_tolower(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        nodes, edges,
+        "MATCH (c:Class) WHERE toLower(c.name) = 'svc' "
+        "RETURN toLower(c.qualified_name) AS qn",
+    )
+    assert _rows(out) == [("app.main.svc",)]
+
+
+def test_optional_must_anchor_on_bound_var(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(
+            nodes, edges,
+            "MATCH (m:Module) OPTIONAL MATCH (x:Class)-[:INHERITS]->(y) "
+            "RETURN m.name AS mod",
+        )
