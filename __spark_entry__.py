@@ -531,6 +531,21 @@ def kg_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_code_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code retrieval by qualified name — find_code_snippet
+    (tools/code_retrieval.py:40-112): node lookup → line-slice of the
+    owning document. Hand-lined fixture; the oracle replays the
+    hand-derived snippets as VALUES, independent of the kernel."""
+    from code_graph_rag_spark.fixtures import SNIPPET_DOCS, SNIPPET_QNS
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.queries import code_snippets
+    from code_graph_rag_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(SNIPPET_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs)
+    return code_snippets(g.nodes, docs, SNIPPET_QNS)
+
+
 def kg_js_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JS/TS language tier end-to-end: the jslite kernel feeds the SAME
     language-agnostic join phase (parsers/js_ts/ analogue)."""
@@ -1443,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_findings": kg_findings,
         "kg_rpc": kg_rpc,
         "kg_contracts": kg_contracts,
+        "kg_code_snippet": kg_code_snippet,
         "kg_js_build": kg_js_build,
         "kg_java_build": kg_java_build,
         "kg_rust_build": kg_rust_build,
@@ -1563,6 +1579,27 @@ def _write_kg_oracle_tables() -> str:
         f"{_KG_ORACLE_DIR}/canon.parquet",
     )
     return _KG_ORACLE_DIR
+
+
+def _code_snippet_sql() -> str:
+    """VALUES oracle for kg_code_snippet from the hand-derived fixture
+    expectations (fixtures.SNIPPET_EXPECTED — line numbers and snippets
+    were derived from the fixture text by hand, not from the engine)."""
+    from code_graph_rag_spark.fixtures import SNIPPET_EXPECTED
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "\\n")
+
+    values = ",\n                ".join(
+        f"('{lbl}', '{qn}', '{path}', {s}::INT, {e}::INT, E'{esc(src)}')"
+        for lbl, qn, path, s, e, src in SNIPPET_EXPECTED
+    )
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) t(label, qualified_name, path, start_line, end_line,
+                source_code) ORDER BY qualified_name
+        """
 
 
 def _lang_build_sql(expected: set) -> str:
@@ -1793,6 +1830,7 @@ def _kg_oracles() -> dict[str, str]:
             max_hops=8,
         )
         + " ORDER BY src, dst",
+        "kg_code_snippet": _code_snippet_sql(),
         "kg_js_build": _lang_build_sql(_FL.JS_EXPECTED),
         "kg_java_build": _lang_build_sql(_FL.JAVA_EXPECTED),
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),

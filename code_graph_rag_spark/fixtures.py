@@ -441,3 +441,87 @@ def synth_corpus_distributed(
     return spark.range(0, n_docs, 1, n_parts).mapInPandas(
         gen, schema=DOCUMENTS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Snippet-retrieval corpus (kg_code_snippet driver oracle): line numbers and
+# expected snippets are hand-derived from this text, so the oracle is a
+# VALUES twin fully independent of the kernel's span arithmetic.
+# ---------------------------------------------------------------------------
+
+SNIPPET_DOCS = [
+    _doc(
+        "snip/app.py",
+        code(
+            "import os\n"  # 1
+            "\n"  # 2
+            "\n"  # 3
+            "def top(a):\n"  # 4
+            "    b = a + 1\n"  # 5
+            "    return b\n"  # 6
+            "\n"  # 7
+            "\n"  # 8
+            "class Box:\n"  # 9
+            "    def get(self):\n"  # 10
+            "        return self.v\n"  # 11
+            "\n"  # 12
+            "    def put(self, v):\n"  # 13
+            "        self.v = v\n"  # 14
+        ),
+    ),
+    _doc(
+        "snip/util.py",
+        code(
+            "def helper(x):\n"  # 1
+            "    return x * 2\n"  # 2
+        ),
+    ),
+]
+
+# qualified names the driver query retrieves
+SNIPPET_QNS = (
+    "snip.app.Box",
+    "snip.app.Box.get",
+    "snip.app.top",
+    "snip.util.helper",
+)
+
+# (label, qualified_name, path, start_line, end_line, source_code) —
+# start/end are the kernel's spans (end extends through trailing blank
+# lines); source_code is the reference slice ``all_lines[start-1:end]``
+# (code_retrieval.py:104) clamped to the file and right-stripped.
+SNIPPET_EXPECTED = [
+    (
+        "Class",
+        "snip.app.Box",
+        "snip/app.py",
+        9,
+        15,
+        "class Box:\n    def get(self):\n        return self.v\n\n"
+        "    def put(self, v):\n        self.v = v",
+    ),
+    (
+        "Method",
+        "snip.app.Box.get",
+        "snip/app.py",
+        10,
+        12,
+        "    def get(self):\n        return self.v",
+    ),
+    (
+        "Function",
+        "snip.app.top",
+        "snip/app.py",
+        4,
+        8,
+        "def top(a):\n    b = a + 1\n    return b",
+    ),
+    (
+        "Function",
+        "snip.util.helper",
+        "snip/util.py",
+        1,
+        3,
+        "def helper(x):\n    return x * 2",
+    ),
+]
