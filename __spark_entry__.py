@@ -604,6 +604,45 @@ def kg_lua_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_build(spark, LUA_DOCS)
 
 
+def kg_ruby_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruby language tier end-to-end (reference ast-grep tier analogue:
+    parsers/ast_grep_tier.py + ast_grep_patterns/ruby.yaml, upgraded to the
+    shared-IR conventions — extract/rubylite.py documents each divergence):
+    nested module/class containment, `class Sub < Base`, attr_accessor
+    methods, verified require_relative vs external require, paren-less
+    `X.new` instantiation, Gemfile manifest."""
+    from code_graph_rag_spark.fixtures_lang import RUBY_DOCS
+
+    return _lang_build(spark, RUBY_DOCS)
+
+
+def kg_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed dispatch registries (reference
+    parsers/dispatch_registry.py, issue #913; plans/dispatch.py): dict
+    registries + @flow/@task registrar decorators EXPOSE
+    resource::DISPATCH::<key>, workflow_name= producers WRITE_TO it, and
+    an unregistered name/deployment key RESOLVES_TO its registered head.
+    The oracle replays the hand-derived expected set."""
+    from code_graph_rag_spark.fixtures_lang import DISPATCH_DOCS
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS, DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(DISPATCH_DOCS, schema=DOCUMENTS_SCHEMA)
+    g = build_graph(docs, groups=DEFAULT_GROUPS + ("io",))
+    out = (
+        g.edges.filter(
+            F.col("pred").isin("EXPOSES", "WRITES_TO", "RESOLVES_TO")
+            & (
+                F.col("obj").startswith("resource::DISPATCH::")
+                | F.col("subj").startswith("resource::DISPATCH::")
+            )
+        )
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+    return out
+
+
 def kg_cs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C# language tier end-to-end (parsers/csharp/ analogue): Allman
     braces, file-scoped namespaces, single base list splitting
@@ -1479,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cs_build": kg_cs_build,
         "kg_cpp_build": kg_cpp_build,
         "kg_dart_build": kg_dart_build,
+        "kg_ruby_build": kg_ruby_build,
+        "kg_dispatch": kg_dispatch,
         # Cypher-subset read path (v1.0 + v1.1)
         "kg_cypher_audit": kg_cypher_audit,
         "kg_cypher_defines": kg_cypher_defines,
@@ -1616,6 +1657,23 @@ def _code_snippet_sql() -> str:
                 {values}
             ) t(label, qualified_name, path, start_line, end_line,
                 source_code) ORDER BY qualified_name
+        """
+
+
+def _dispatch_sql() -> str:
+    """VALUES oracle for kg_dispatch from the hand-derived expectation set
+    (fixtures_lang.DISPATCH_EXPECTED — reference dispatch_registry.py
+    semantics replayed by hand over the fixture corpus)."""
+    from code_graph_rag_spark.fixtures_lang import DISPATCH_EXPECTED
+
+    rows = sorted(DISPATCH_EXPECTED)
+    values = ",\n                ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in rows
+    )
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) t(subj, pred, obj) ORDER BY subj, pred, obj
         """
 
 
@@ -1853,6 +1911,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_rust_build": _lang_build_sql(_FL.RUST_EXPECTED),
         "kg_go_build": _lang_build_sql(_FL.GO_EXPECTED),
         "kg_lua_build": _lang_build_sql(_FL.LUA_EXPECTED),
+        "kg_ruby_build": _lang_build_sql(_FL.RUBY_EXPECTED),
+        "kg_dispatch": _dispatch_sql(),
         "kg_cs_build": _lang_build_sql(_FL.CS_EXPECTED),
         "kg_cpp_build": _lang_build_sql(_FL.CPP_EXPECTED),
         "kg_dart_build": _lang_build_sql(_FL.DART_EXPECTED),

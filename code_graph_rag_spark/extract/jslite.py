@@ -84,6 +84,24 @@ _EXPORT_DECL_RE = re.compile(
 )
 _MODULE_EXPORTS_RE = re.compile(rf"module\s*\.\s*exports\s*(?:\.\s*({_ID})\s*)?=")
 _EXPORTS_OBJ_RE = re.compile(r"module\s*\.\s*exports\s*=\s*\{([^}]*)\}")
+# CommonJS member/direct exports (reference parsers/js_ts/module_system.py
+# `_ingest_commonjs_exports` + `_ingest_direct_module_export`, the
+# export_detection.py CJS markers): `exports.foo = ...` /
+# `module.exports.foo = ...` export `foo` (and, when the RHS is a bare
+# identifier, that local too); `module.exports = f` exports the identifier.
+# All forms obey the statement-block stop rule — an assignment inside a
+# function body runs when that function runs, not at module load
+# (`_is_export_inside_function`), so only module-scope statements count.
+_EXPORTS_MEMBER_RE = re.compile(
+    rf"^\s*(?:module\s*\.\s*)?exports\s*\.\s*({_ID})\s*=\s*(?:({_ID})\s*;?\s*$)?"
+)
+_MODULE_EXPORTS_IDENT_RE = re.compile(
+    rf"^\s*module\s*\.\s*exports\s*=\s*({_ID})\s*;?\s*$"
+)
+_EXPORTS_FUNC_RE = re.compile(
+    rf"^\s*(?:module\s*\.\s*)?exports\s*\.\s*({_ID})\s*=\s*"
+    rf"(?:async\s+)?(?:function\s*\*?\s*\(|\(?[\w$,{{}}\s:\[\]\.]*\)?\s*=>)"
+)
 _CALL_RE = re.compile(rf"(?<![\w$.])(new\s+)?({_DOTTED})\s*(?:<[^>()]*>)?\s*\(")
 _CHAIN_RE = re.compile(rf"(?<![\w$.])({_DOTTED})\s*\([^()]*\)\s*\.\s*({_ID})\s*\(")
 _SUPER_RE = re.compile(rf"(?<![\w$.])super\s*\.\s*({_ID})\s*\(")
@@ -471,12 +489,33 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
         em = _EXPORT_DECL_RE.match(line)
         if em:
             export_names.add((em.group(1), line_no))
-        em = _EXPORTS_OBJ_RE.search(line)
-        if em:
-            for part in em.group(1).split(","):
-                name = part.split(":")[0].strip()
-                if re.fullmatch(_ID, name or ""):
-                    export_names.add((name, line_no))
+        # ---- CommonJS exports (module-scope statements only: the
+        # statement-block stop rule — reference module_system.py
+        # `_is_export_inside_function`) ----
+        if innermost_callable().kind == "module":
+            em = _EXPORTS_OBJ_RE.search(line)
+            if em:
+                for part in em.group(1).split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    # `{foo}` exports foo; `{name: localFn}` makes the
+                    # VALUE's local declaration reachable (the reference
+                    # export-specifier rule: the local name counts)
+                    name = (
+                        part.split(":")[1] if ":" in part else part
+                    ).strip()
+                    if re.fullmatch(_ID, name or ""):
+                        export_names.add((name, line_no))
+            else:
+                em = _MODULE_EXPORTS_IDENT_RE.match(line)
+                if em:
+                    export_names.add((em.group(1), line_no))
+                em = _EXPORTS_MEMBER_RE.match(line)
+                if em:
+                    export_names.add((em.group(1), line_no))
+                    if em.group(2):
+                        export_names.add((em.group(2), line_no))
 
         # ---- declarations (scope-opening) ----
         decls: list[tuple[int, _Scope]] = []
@@ -558,6 +597,20 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             decls.append((line.find("{", fm.end()), sc))
             consumed.append((fm.start(), fm.end(1)))
             _collect_annotations(line, fm.end(1), sc.qn, param_types, return_facts)
+
+        # CJS member-function export: `exports.foo = function (...)` /
+        # `module.exports.bar = async () =>` mints a module function named
+        # by the member (reference module_system.py `_ingest_export_function`
+        # names the anonymous assigned function by its export name)
+        xm = _EXPORTS_FUNC_RE.match(line)
+        if xm and innermost_callable().kind == "module":
+            sc = push_def("function", xm.group(1), line_no, xm.start(1))
+            body = line.find("{", xm.end() - 1)
+            arrow = line.find("=>", xm.end() - 2)
+            if arrow != -1 and (body == -1 or body < arrow):
+                body = line.find("{", arrow)
+            decls.append((body, sc))
+            consumed.append((xm.start(), xm.end(1)))
 
         vm = _VAR_FUNC_RE.search(line)
         if vm and not any(s <= vm.start(1) < e for s, e in consumed):

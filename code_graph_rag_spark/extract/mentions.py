@@ -45,6 +45,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
     from code_graph_rag_spark.extract.lualite import LUA_EXTENSIONS
     from code_graph_rag_spark.extract.lualite import parse_document as _parse_lua
     from code_graph_rag_spark.extract.pylite import doc_extension
+    from code_graph_rag_spark.extract.rubylite import RUBY_EXTENSIONS
+    from code_graph_rag_spark.extract.rubylite import parse_document as _parse_rb
     from code_graph_rag_spark.extract.rustlite import RUST_EXTENSIONS
     from code_graph_rag_spark.extract.rustlite import parse_document as _parse_rs
 
@@ -81,6 +83,8 @@ def parse_document(doc_id: str, text: str) -> list[dict]:
         return _parse_cpp(doc_id, text)
     if ext in DART_EXTENSIONS:
         return _parse_dart(doc_id, text)
+    if ext in RUBY_EXTENSIONS:
+        return _parse_rb(doc_id, text)
     return _parse_py(doc_id, text)
 
 _INT_COLS = {"start_line", "end_line", "start_col", "base_index"}
@@ -128,7 +132,16 @@ def _media_rows(spans: list, module_qn: str) -> list[dict]:
 # assignment-taint / per-argument flow, plans/endpoints.py mount prefixes).
 # `returns` is NOT here: the chained-return resolution rung (core) needs it.
 _IO_ONLY_KINDS = frozenset(
-    {"assign", "argflow", "mount", "route_call", "rpc_wire", "contract_op"}
+    {
+        "assign",
+        "argflow",
+        "mount",
+        "route_call",
+        "rpc_wire",
+        "contract_op",
+        "dispatch_reg",
+        "dispatch_prod",
+    }
 )
 
 

@@ -49,6 +49,11 @@ from __future__ import annotations
 
 import json
 import re
+
+from code_graph_rag_spark.extract.manifests import (
+    MANIFEST_FILES,
+    parse_manifest as _parse_manifest,
+)
 from dataclasses import dataclass, field
 
 KEYWORDS = frozenset(
@@ -72,36 +77,6 @@ _SUPER_RE = re.compile(rf"(?<![\w.])super\s*\(\s*\)\s*\.\s*({_ID})\s*\(")
 _LAMBDA_RE = re.compile(r"(?<!\w)lambda[\s:]")
 _ALL_RE = re.compile(
     r"^__all__\s*(?:\:[^=]+)?=\s*[\[\(](.*?)[\]\)]", re.MULTILINE | re.DOTALL
-)
-_REQ_RE = re.compile(r"^\s*([A-Za-z_][\w.\-]*)\s*(?:[=<>!~]=+\s*([\w.*]+))?\s*$")
-_PKGJSON_DEP_RE = re.compile(r'^\s*"([^"]+)"\s*:\s*"([^"]*)"\s*,?\s*$')
-
-MANIFEST_FILES = {
-    "requirements.txt": "requirements",
-    "pyproject.toml": "pyproject",
-    "package.json": "package_json",
-    "go.mod": "gomod",
-    "Cargo.toml": "cargo",
-    "Gemfile": "gemfile",
-    "composer.json": "composer",
-    "pubspec.yaml": "pubspec",
-    # *.csproj matches by suffix in parse_document (any project name)
-}
-_GOMOD_REQ_RE = re.compile(r"^\s*(?:require\s+)?([\w./\-]+)\s+(v[\w.\-+]+)")
-# Gemfile `gem "name", "~> 1.0"` (reference dependency_parser.py GemfileParser)
-_GEMFILE_RE = re.compile(
-    r"""gem\s+["']([^"']+)["'](?:\s*,\s*["']([^"']+)["'])?"""
-)
-# .csproj `<PackageReference Include="X" Version="Y" />` (CsprojParser; the
-# reference uses an XML walk — attribute order is Include-first in practice
-# and both orders are matched here)
-_CSPROJ_RE = re.compile(
-    r"""<PackageReference\s+(?:Include="([^"]+)"(?:\s+Version="([^"]*)")?"""
-    r"""|Version="([^"]*)"\s+Include="([^"]+)")"""
-)
-_CARGO_DEP_RE = re.compile(
-    r'^\s*([A-Za-z_][\w\-]*)\s*=\s*(?:"([^"]*)"'
-    r'|\{[^}]*version\s*=\s*"([^"]*)")'
 )
 _IMPORT_RE = re.compile(r"^(\s*)import\s+(.+)$")
 _FROM_RE = re.compile(r"^(\s*)from\s+(\.*)([\w.]*)\s+import\s+(.+)$")
@@ -376,151 +351,87 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
-def _parse_manifest(doc_id: str, text: str, flavor: str) -> list[dict]:
-    """Dependency manifests → ``dependency`` mentions (name, version prop)."""
-    project = doc_id.split("/")[0]
-    out: list[dict] = []
+# Dispatch registrars (reference io_access/constants.py:44-47): the
+# Prefect-style `@flow` / `@task` decorators register their function under
+# a string key; `workflow_name=` keyword arguments produce onto it.
+_DISPATCH_REGISTRARS = frozenset({"flow", "task"})
+_DISPATCH_PROD_RE = re.compile(r"[(,]\s*workflow_name\s*=\s*")
 
-    def dep(idx: int, name: str, spec: str) -> dict:
-        return {
-            "kind": "dependency",
-            "name": name,
-            "parent_qn": project,
-            "parent_kind": "Project",
-            "start_line": idx + 1,
-            "props": json.dumps({"version_spec": spec or ""}),
-        }
 
-    in_dep_block = flavor not in ("package_json", "composer")
-    # pubspec block-entry indent: packages sit at the FIRST entry's indent;
-    # deeper lines are a nested block's keys (sdk:/git:/path:) and skip
-    # (reference dependency_parser.py PubspecYamlParser)
-    pubspec_entry_indent: int | None = None
-    for idx, raw in enumerate(text.split("\n")):
-        line = raw.strip()
-        if not line or line.startswith(("#", "//")):
+_DISPATCH_ENTRY_RE = re.compile(r"^\s*(['\"]).*\1\s*:\s*([A-Za-z_]\w*)\s*$")
+
+
+def _dispatch_dict_entries(
+    clean: str, lit: str, brace: int
+) -> list[tuple[str, str]] | None:
+    """Parse a module-level dict literal into [(key, handler_ident)] —
+    None unless EVERY entry maps a plain string literal to a bare
+    identifier (reference ``_process_dict_registry``: one exception keeps
+    config dicts out; f-strings and non-identifier values disqualify)."""
+    if brace == -1:
+        return None
+    depth = 0
+    close = -1
+    for i in range(brace, len(clean)):
+        if clean[i] == "{":
+            depth += 1
+        elif clean[i] == "}":
+            depth -= 1
+            if depth == 0:
+                close = i
+                break
+    if close == -1 or clean[close + 1 :].strip():
+        return None
+    out: list[tuple[str, str]] = []
+    seg_clean = clean[brace + 1 : close]
+    seg_lit = lit[brace + 1 : close]
+    pos = 0
+    for part in seg_clean.split(","):
+        lpart = seg_lit[pos : pos + len(part)]
+        pos += len(part) + 1
+        if not part.strip():
             continue
-        if flavor == "gemfile":
-            if line.startswith("gem "):
-                m = _GEMFILE_RE.match(line)
-                if m:
-                    out.append(dep(idx, m.group(1), m.group(2)))
-            continue
-        if flavor == "csproj":
-            for m in _CSPROJ_RE.finditer(line):
-                name = m.group(1) or m.group(4)
-                if name:
-                    out.append(dep(idx, name, m.group(2) or m.group(3)))
-            continue
-        if flavor == "composer":
-            # require / require-dev maps, php pseudo-package excluded
-            if line.startswith(('"require"', '"require-dev"')):
-                in_dep_block = True
-                continue
-            if line.startswith(("}", "]")):
-                in_dep_block = False
-                continue
-            m = _PKGJSON_DEP_RE.match(line)
-            if in_dep_block and m and m.group(1) != "php":
-                out.append(dep(idx, m.group(1), m.group(2)))
-            continue
-        if flavor == "pubspec":
-            indent = len(raw) - len(raw.lstrip())
-            if indent == 0:
-                key = line.split(":", 1)[0]
-                in_dep_block = key in ("dependencies", "dev_dependencies")
-                pubspec_entry_indent = None
-                continue
-            if not in_dep_block or ":" not in line:
-                continue
-            if pubspec_entry_indent is None:
-                pubspec_entry_indent = indent
-            if indent != pubspec_entry_indent:
-                continue
-            name, _, spec = line.partition(":")
-            if name.strip():
-                out.append(dep(idx, name.strip(), spec.strip()))
-            continue
-        if flavor == "package_json":
-            if line.startswith('"dependencies"') or line.startswith(
-                '"devDependencies"'
-            ):
-                in_dep_block = True
-                continue
-            if line.startswith(("}", "]")):
-                in_dep_block = False
-                continue
-            m = _PKGJSON_DEP_RE.match(line)
-            if in_dep_block and m:
-                out.append(
-                    {
-                        "kind": "dependency",
-                        "name": m.group(1),
-                        "parent_qn": project,
-                        "parent_kind": "Project",
-                        "start_line": idx + 1,
-                        "props": json.dumps({"version_spec": m.group(2)}),
-                    }
-                )
-            continue
-        if flavor == "gomod":
-            # `require path v1.2.3` (single or inside a require block);
-            # the `module`/`go`/`replace` directives are not dependencies
-            # (reference parsers/dependency_parser.py go.mod handling)
-            if line.startswith(("module ", "go ", "replace ", ")", "require (")):
-                continue
-            m = _GOMOD_REQ_RE.match(line)
-            if m:
-                out.append(
-                    {
-                        "kind": "dependency",
-                        "name": m.group(1),
-                        "parent_qn": project,
-                        "parent_kind": "Project",
-                        "start_line": idx + 1,
-                        "props": json.dumps({"version_spec": m.group(2)}),
-                    }
-                )
-            continue
-        if flavor == "cargo":
-            # [dependencies]/[dev-dependencies]/[build-dependencies]
-            # sections; `name = "1.0"` or `name = { version = "1.0", .. }`
-            if line.startswith("["):
-                in_dep_block = line.strip("[]").endswith("dependencies")
-                continue
-            m = _CARGO_DEP_RE.match(line)
-            if in_dep_block and m:
-                out.append(
-                    {
-                        "kind": "dependency",
-                        "name": m.group(1),
-                        "parent_qn": project,
-                        "parent_kind": "Project",
-                        "start_line": idx + 1,
-                        "props": json.dumps(
-                            {"version_spec": m.group(2) or m.group(3) or ""}
-                        ),
-                    }
-                )
-            continue
-        if flavor == "pyproject":
-            if line.startswith("["):
-                in_dep_block = "dependencies" in line
-                continue
-            line = line.strip('",')
-        m = _REQ_RE.match(line)
-        if in_dep_block and m and m.group(1) not in ("name", "version"):
-            out.append(
-                {
-                    "kind": "dependency",
-                    "name": m.group(1),
-                    "parent_qn": project,
-                    "parent_kind": "Project",
-                    "start_line": idx + 1,
-                    "props": json.dumps({"version_spec": m.group(2) or ""}),
-                }
-            )
-    return out
+        m = _DISPATCH_ENTRY_RE.match(part)
+        if not m:
+            return None
+        lm = _LIT_AT_RE.match(part)
+        if not lm:
+            return None
+        q = lm.group(1)
+        qstart = lm.end() - 1
+        qend = part.find(q, qstart + 1)
+        if qend == -1:
+            return None
+        key = lpart[qstart + 1 : qend]
+        out.append((key, m.group(2)))
+    return out or None
+
+
+def _dispatch_registrar_key(
+    dec: str, func_name: str
+) -> tuple[str | None, str | None]:
+    """(registrar tail, key) for one verbatim decorator string.
+
+    Reference ``_registrar_key`` (dispatch_registry.py): `@flow` registers
+    the hyphenated function name; `@flow(name="x")` the explicit literal;
+    an explicit but NON-literal name is unknowable → (tail, None) so the
+    caller records no key; a non-registrar decorator → (None, None).
+    """
+    head = dec.split("(", 1)[0].strip()
+    tail = head.split(".")[-1]
+    if tail not in _DISPATCH_REGISTRARS:
+        return None, None
+    if "(" in dec:
+        nm = re.search(r"\bname\s*=\s*", dec)
+        if nm:
+            rest = dec[nm.end() :].lstrip()
+            if rest[:1] in ("'", '"'):
+                q = rest[0]
+                end = rest.find(q, 1)
+                if end > 0:
+                    return tail, rest[1:end]
+            return tail, None
+    return tail, func_name.replace("_", "-")
 
 
 def parse_document(doc_id: str, code_text: str) -> list[dict]:
@@ -582,6 +493,12 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
     class_attr_types: dict[str, dict[str, str]] = {}
     # (function qn, returned ctor/annotation expr) facts
     return_facts: set[tuple[str, str]] = set()
+    # --- dispatch-registry state (reference parsers/dispatch_registry.py;
+    # join phase in plans/dispatch.py) ---
+    mod_constants: dict[str, str] = {}  # module-level NAME = "literal"
+    dispatch_regs: list[tuple[dict, str]] = []  # (row, registrar tail)
+    dispatch_prods: list[dict] = []
+    dispatch_deferred: list[tuple[dict, str]] = []  # (row, identifier)
 
     def scope_pop_to(indent: int, line_no: int) -> None:
         while len(stack) > 1 and indent <= stack[-1].indent:
@@ -650,6 +567,29 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             def_rows.append(row)
             open_defs.append((row, indent))
             parent.children.add(name)
+            # registrar-decorated MODULE-LEVEL defs register under a string
+            # key (reference _process_decorated walks only root children);
+            # the local-shadow rule is applied at flush once all module
+            # defs are known
+            if pending_decorators and parent.kind == "module":
+                for dec in pending_decorators:
+                    tail, key = _dispatch_registrar_key(dec, name)
+                    if tail is None or key is None:
+                        continue
+                    dispatch_regs.append(
+                        (
+                            {
+                                "kind": "dispatch_reg",
+                                "qn": qn,
+                                "name": key,
+                                "parent_qn": parent.qn,
+                                "parent_kind": "Module",
+                                "start_line": line_no,
+                                "start_col": indent,
+                            },
+                            tail,
+                        )
+                    )
             scope = _Scope(indent, kind, qn, name, line_no)
             stack.append(scope)
             children[qn] = scope.children
@@ -802,6 +742,39 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
             rhs_raw = am.group(2)
             rhs_lead = len(rhs_raw) - len(rhs_raw.lstrip())
             cm = _CTOR_RE.match(rhs_raw.strip())
+            # module-level assignments feed the dispatch pass (reference
+            # _process_module_assignment): a plain string literal becomes a
+            # producer-resolvable constant; a dict literal is a registry
+            # candidate when EVERY entry is "key": identifier
+            if len(stack) == 1:
+                rhs_pos0 = indent_off + am.start(2) + rhs_lead
+                if rhs_raw.strip().startswith(("'", '"')):
+                    lit0, after0 = _literal_after(line, lit_line, rhs_pos0)
+                    if lit0 is not None and not line[after0:].strip():
+                        mod_constants[am.group(1)] = lit0
+                elif rhs_raw.strip().startswith("{"):
+                    entries = _dispatch_dict_entries(
+                        line, lit_line, line.find("{", rhs_pos0)
+                    )
+                    for key, ident in entries or ():
+                        dispatch_regs.append(
+                            (
+                                {
+                                    "kind": "dispatch_reg",
+                                    "name": key,
+                                    "callee": ident,
+                                    "target": f"L{line_no}",
+                                    "parent_qn": module_qn,
+                                    "parent_kind": "Module",
+                                    "start_line": line_no,
+                                    "start_col": indent_off,
+                                    "props": json.dumps(
+                                        {"n": len(entries)}
+                                    ),
+                                },
+                                "",  # dict form: no registrar shadow rule
+                            )
+                        )
             scope_assigns.setdefault(caller.qn, []).append(
                 (line_no, am.group(1), cm.group(1) if cm else None)
             )
@@ -890,6 +863,27 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                         "_class_qn": cls_scope,
                     }
                 )
+
+        # ---- dispatch producers: a workflow_name= keyword INSIDE a call's
+        # argument list (the [(,] guard excludes statement-level assignment)
+        # whose value is a string literal or a module-constant identifier
+        # (reference _process_producers; identifier resolution deferred to
+        # the flush like the reference's finalize walk-order rule) ----
+        for dpm in _DISPATCH_PROD_RE.finditer(line):
+            d_row = {
+                "kind": "dispatch_prod",
+                "parent_qn": caller.qn,
+                "parent_kind": caller.kind.capitalize(),
+                "start_line": line_no,
+                "start_col": dpm.start(),
+            }
+            d_lit, _after = _literal_after(line, lit_line, dpm.end())
+            if d_lit is not None:
+                dispatch_prods.append({**d_row, "name": d_lit})
+            else:
+                ivm = re.match(rf"({_ID})", line[dpm.end() :])
+                if ivm:
+                    dispatch_deferred.append((d_row, ivm.group(1)))
 
         seen_spans: list[tuple[int, int]] = []
         rp = _RET_PREFIX_RE.match(line)
@@ -1111,6 +1105,20 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                 "start_col": 0,
             }
         )
+
+    # --- dispatch flush: drop registrar candidates shadowed by a module-
+    # level def of the same name (reference _locally_defined); resolve
+    # deferred producer identifiers against the module constants (reference
+    # finalize — deferral makes statement order irrelevant) ---
+    for d_row, d_tail in dispatch_regs:
+        if d_tail and d_tail in module_scope.children:
+            continue
+        mentions.append(d_row)
+    mentions.extend(dispatch_prods)
+    for d_row, d_ident in dispatch_deferred:
+        d_key = mod_constants.get(d_ident)
+        if d_key:
+            mentions.append({**d_row, "name": d_key})
 
     # --- second pass: caller-sensitive hints for calls/refs -----------------
     file_def_names = {r["name"] for r in def_rows}

@@ -80,6 +80,24 @@ JS_DOCS = [
             "}\n"
         ),
     ),
+    # CommonJS module (reference parsers/js_ts/module_system.py CJS export
+    # queries + export_detection.py statement-block stop rule): member
+    # exports name their local, an anonymous member function is named by
+    # its export, and assignments inside a function body are NOT exports
+    _doc(
+        "jsproj/legacy.js",
+        code(
+            "const { utilFunc } = require('./util');\n"
+            "function listAll() { return utilFunc(); }\n"
+            "function makeOne(n) { return n; }\n"
+            "exports.list = listAll;\n"
+            "module.exports.make = makeOne;\n"
+            "exports.compute = function (x) { return x + 1; };\n"
+            "function hidden() {\n"
+            "  exports.sneaky = hidden;\n"
+            "}\n"
+        ),
+    ),
 ]
 
 JS_EXPECTED = {
@@ -126,6 +144,18 @@ JS_EXPECTED = {
     # super.m() → nearest base; this.m() → own class
     ("jsproj.app.BigCircle.area", "CALLS", "jsproj.shapes.Circle.area"),
     ("jsproj.app.BigCircle.draw", "CALLS", "jsproj.app.BigCircle.area"),
+    # CommonJS: destructured require binds the member for call resolution
+    ("jsproj.legacy", "DEFINES", "jsproj.legacy.listAll"),
+    ("jsproj.legacy", "DEFINES", "jsproj.legacy.makeOne"),
+    ("jsproj.legacy", "DEFINES", "jsproj.legacy.compute"),
+    ("jsproj.legacy", "DEFINES", "jsproj.legacy.hidden"),
+    ("jsproj.legacy", "IMPORTS", "jsproj.util"),
+    ("jsproj.legacy.listAll", "CALLS", "jsproj.util.utilFunc"),
+    # CJS exports: `exports.x = local` / `module.exports.y = local` export
+    # the LOCAL declaration; an anonymous member fn is named by its export
+    ("jsproj.legacy", "EXPORTS", "jsproj.legacy.listAll"),
+    ("jsproj.legacy", "EXPORTS", "jsproj.legacy.makeOne"),
+    ("jsproj.legacy", "EXPORTS", "jsproj.legacy.compute"),
 }
 
 JS_FORBIDDEN = {
@@ -135,6 +165,9 @@ JS_FORBIDDEN = {
     ("jsproj.app.BigCircle.area", "CALLS", "jsproj.app.BigCircle.area"),
     # this.m() must prefer the own class over the base
     ("jsproj.app.BigCircle.draw", "CALLS", "jsproj.shapes.Circle.area"),
+    # the statement-block stop rule: a CJS assignment inside a function
+    # body runs at call time, never a module export
+    ("jsproj.legacy", "EXPORTS", "jsproj.legacy.hidden"),
 }
 
 JAVA_DOCS = [
@@ -1140,4 +1173,274 @@ CONTRACT_EXPECTED = {
         "RESOLVES_TO",
         "resource::CONTRACT::websvc::websvc/openapi.createUser",
     ),
+}
+
+
+# Ruby tier fixture (extract/rubylite.py). The reference covers Ruby with
+# its declarative ast-grep tier (parsers/ast_grep_tier.py +
+# ast_grep_patterns/ruby.yaml: def/def self./class/module/require/
+# require_relative); rubylite upgrades those shapes to the shared-IR
+# conventions (nested QNs, verified requires, `class A < B` INHERITS,
+# attr_* methods, call extraction) — each divergence documented in the
+# kernel docstring. Gemfile rides the shared manifest registry
+# (reference dependency_parser.py GemfileParser).
+RUBY_DOCS = [
+    _doc(
+        "rubyproj/shapes.rb",
+        code(
+            'require "json"\n'
+            "\n"
+            "module Geometry\n"
+            "  class Shape\n"
+            "    attr_accessor :name\n"
+            "    def initialize(n)\n"
+            "      validate(n)\n"
+            "    end\n"
+            "    def area\n"
+            "      0\n"
+            "    end\n"
+            "    def describe\n"
+            "      area()\n"
+            "    end\n"
+            "  end\n"
+            "\n"
+            "  class Circle < Shape\n"
+            "    def area\n"
+            "      3\n"
+            "    end\n"
+            "    def self.build(r)\n"
+            "      Circle.new(r)\n"
+            "    end\n"
+            "  end\n"
+            "end\n"
+            "\n"
+            "def validate(x)\n"
+            "  x\n"
+            "end\n"
+            "\n"
+            "def top_helper(y)\n"
+            "  validate(y)\n"
+            "end\n"
+        ),
+    ),
+    _doc(
+        "rubyproj/app.rb",
+        code(
+            'require_relative "shapes"\n'
+            "\n"
+            "def run_app\n"
+            "  top_helper(2)\n"
+            "end\n"
+        ),
+    ),
+    _doc(
+        "rubyproj/Gemfile",
+        code('source "https://rubygems.org"\ngem "rails", "~> 7.0"\n'),
+    ),
+]
+
+RUBY_EXPECTED = {
+    # defines: nested module/class containment
+    ("rubyproj.shapes", "DEFINES", "rubyproj.shapes.Geometry"),
+    ("rubyproj.shapes.Geometry", "DEFINES", "rubyproj.shapes.Geometry.Shape"),
+    ("rubyproj.shapes.Geometry", "DEFINES", "rubyproj.shapes.Geometry.Circle"),
+    ("rubyproj.shapes", "DEFINES", "rubyproj.shapes.validate"),
+    ("rubyproj.shapes", "DEFINES", "rubyproj.shapes.top_helper"),
+    ("rubyproj.app", "DEFINES", "rubyproj.app.run_app"),
+    # methods incl. the attr_accessor-minted getter
+    (
+        "rubyproj.shapes.Geometry.Shape",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Shape.name",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Shape",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Shape.initialize",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Shape",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Shape.area",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Shape",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Shape.describe",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Circle",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Circle.area",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Circle",
+        "DEFINES_METHOD",
+        "rubyproj.shapes.Geometry.Circle.build",
+    ),
+    # requires: external gem + verified internal require_relative
+    ("rubyproj.shapes", "IMPORTS", "json"),
+    ("rubyproj.app", "IMPORTS", "rubyproj.shapes"),
+    # class Sub < Base (unique-simple-name rung inside the namespace)
+    (
+        "rubyproj.shapes.Geometry.Circle",
+        "INHERITS",
+        "rubyproj.shapes.Geometry.Shape",
+    ),
+    # Circle#area overrides Shape#area through the INHERITS closure
+    (
+        "rubyproj.shapes.Geometry.Circle.area",
+        "OVERRIDES",
+        "rubyproj.shapes.Geometry.Shape.area",
+    ),
+    # calls: same-module rung, enclosing-scope sibling dispatch,
+    # cross-file unique-simple-name fallback
+    (
+        "rubyproj.shapes.Geometry.Shape.initialize",
+        "CALLS",
+        "rubyproj.shapes.validate",
+    ),
+    (
+        "rubyproj.shapes.Geometry.Shape.describe",
+        "CALLS",
+        "rubyproj.shapes.Geometry.Shape.area",
+    ),
+    ("rubyproj.shapes.top_helper", "CALLS", "rubyproj.shapes.validate"),
+    ("rubyproj.app.run_app", "CALLS", "rubyproj.shapes.top_helper"),
+    # X.new → INSTANTIATES the class (Ruby ctor; no __init__ redirect)
+    (
+        "rubyproj.shapes.Geometry.Circle.build",
+        "INSTANTIATES",
+        "rubyproj.shapes.Geometry.Circle",
+    ),
+    # Gemfile manifest
+    ("rubyproj", "DEPENDS_ON_EXTERNAL", "rails"),
+}
+
+RUBY_FORBIDDEN = {
+    # sibling dispatch must bind the CALLER's class, not the subclass
+    (
+        "rubyproj.shapes.Geometry.Shape.describe",
+        "CALLS",
+        "rubyproj.shapes.Geometry.Circle.area",
+    ),
+    # the def header must never read as a self-call
+    (
+        "rubyproj.shapes.Geometry.Circle.build",
+        "CALLS",
+        "rubyproj.shapes.Geometry.Circle.build",
+    ),
+    # ctor INSTANTIATES must not double as a CALLS edge to the class
+    (
+        "rubyproj.shapes.Geometry.Circle.build",
+        "CALLS",
+        "rubyproj.shapes.Geometry.Circle",
+    ),
+}
+
+
+# String-keyed dispatch registries (reference parsers/dispatch_registry.py,
+# issue #913; plans/dispatch.py). Exercises: module-level dict registry
+# (local + imported handler, all-or-nothing gate), bare/named/non-literal
+# registrar decorators, a local def shadowing the registrar name, literal /
+# module-constant / deployment-suffixed producers, module-level producer
+# scope, and the deployment RESOLVES_TO link.
+DISPATCH_DOCS = [
+    _doc(
+        "dsp/handlers.py",
+        code("def audit_handler():\n    return 9\n"),
+    ),
+    _doc(
+        "dsp/tasks.py",
+        code(
+            "from prefect import flow, task\n"
+            "from dsp.handlers import audit_handler\n"
+            "\n"
+            "def local_handler():\n"
+            "    return 1\n"
+            "\n"
+            "HANDLERS = {\n"
+            '    "ingest": local_handler,\n'
+            '    "audit": audit_handler,\n'
+            "}\n"
+            "\n"
+            "CONFIG = {\n"
+            '    "retries": 3,\n'
+            "}\n"
+            "\n"
+            "BROKEN = {\n"
+            '    "lost": missing_handler,\n'
+            "}\n"
+            "\n"
+            "@flow\n"
+            "def nightly_sync():\n"
+            "    return 2\n"
+            "\n"
+            '@flow(name="daily-report")\n'
+            "def report_job():\n"
+            "    return 3\n"
+            "\n"
+            "@task(name=dynamic())\n"
+            "def skipped_job():\n"
+            "    return 4\n"
+        ),
+    ),
+    _doc(
+        "dsp/fake.py",
+        code(
+            "def flow(f):\n"
+            "    return f\n"
+            "\n"
+            "@flow\n"
+            "def not_registered():\n"
+            "    return 5\n"
+        ),
+    ),
+    _doc(
+        "dsp/producer.py",
+        code(
+            'JOB = "ingest"\n'
+            "\n"
+            "def schedule_all(client):\n"
+            '    client.submit(workflow_name="audit")\n'
+            "    client.submit(workflow_name=JOB)\n"
+            '    client.submit(workflow_name="daily-report/prod")\n'
+            "\n"
+            'boot(workflow_name="nightly-sync")\n'
+        ),
+    ),
+]
+
+DISPATCH_EXPECTED = {
+    # dict registry: local + imported handler EXPOSE their keys
+    ("dsp.tasks.local_handler", "EXPOSES", "resource::DISPATCH::ingest"),
+    ("dsp.handlers.audit_handler", "EXPOSES", "resource::DISPATCH::audit"),
+    # registrar decorators: bare @flow → hyphenated fn name; explicit
+    # name= literal wins; non-literal name and shadowed registrar → nothing
+    ("dsp.tasks.nightly_sync", "EXPOSES", "resource::DISPATCH::nightly-sync"),
+    ("dsp.tasks.report_job", "EXPOSES", "resource::DISPATCH::daily-report"),
+    # producers: literal, module-constant, deployment-suffixed, module-level
+    ("dsp.producer.schedule_all", "WRITES_TO", "resource::DISPATCH::audit"),
+    ("dsp.producer.schedule_all", "WRITES_TO", "resource::DISPATCH::ingest"),
+    (
+        "dsp.producer.schedule_all",
+        "WRITES_TO",
+        "resource::DISPATCH::daily-report/prod",
+    ),
+    ("dsp.producer", "WRITES_TO", "resource::DISPATCH::nightly-sync"),
+    # unregistered produced key resolves onto its registered head
+    (
+        "resource::DISPATCH::daily-report/prod",
+        "RESOLVES_TO",
+        "resource::DISPATCH::daily-report",
+    ),
+}
+
+DISPATCH_FORBIDDEN = {
+    # a dict with any unresolvable handler is NOT a registry (all-or-nothing)
+    ("dsp.tasks.missing_handler", "EXPOSES", "resource::DISPATCH::lost"),
+    # a local def named like the registrar is not the external registrar
+    ("dsp.fake.not_registered", "EXPOSES", "resource::DISPATCH::not-registered"),
+    # an explicit non-literal name is unknowable: no key at all
+    ("dsp.tasks.skipped_job", "EXPOSES", "resource::DISPATCH::skipped-job"),
 }

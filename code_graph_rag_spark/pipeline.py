@@ -191,6 +191,42 @@ def _mark(tag: str) -> None:
         print(f"[cgr-mark] {tag} @{time.time() % 10000:.1f}", flush=True)
 
 
+# Join-phase partition sizing: partitions track DATA VOLUME, never core
+# count — the rule that holds at 100 TB (thousands of partitions) AND at
+# toy scale. Event-log profiling showed every join-phase stage pays a
+# fixed per-task cost (~130-150 ms CPU: 4 MiB task-binary deserialization
+# + codegen dispatch) that is data-independent; with partitions = cores
+# the total join-phase CPU scaled WITH the core count (2,530 tasks /
+# 685 s CPU / 98 s GC at local[16] vs 862 / 167 s / 8 s at local[4] for
+# the SAME 20k-doc build — the r4 strong-scaling finding). The fix is
+# DUAL-WIDTH, because the two consumer populations want opposite widths:
+#
+#   * the call-resolution ladder does real per-row work (regexp candidate
+#     minting, window arbitration) — it reads the WIDE view
+#     (~30k rows/partition; measured 54 s at 3 partitions vs 8 s at 9+);
+#   * the ~300 light consumers (override/media/exports/io branches and
+#     their broadcast-build rescans) are fixed-cost-dominated — they read
+#     the NARROW view (~400k rows ≈ 128 MB/partition; the edges_prov union
+#     measured 44 s over a 9-partition base vs 8 s over 3).
+_WIDE_ROWS_PER_PARTITION = int(
+    os.environ.get("CGR_WIDE_ROWS_PER_PARTITION", "30000")
+)
+_JOIN_ROWS_PER_PARTITION = int(
+    os.environ.get("CGR_JOIN_ROWS_PER_PARTITION", "400000")
+)
+
+
+def _narrow(df: DataFrame, rows: int, per_part: int, tag: str) -> DataFrame:
+    """Coalesce an already-checkpointed frame to ceil(rows/per_part)
+    partitions and re-cut. The extra materialization reads cached blocks —
+    milliseconds — and every downstream scan of the result launches
+    data-proportional task counts instead of <cores>."""
+    k = max(1, -(-rows // per_part))
+    if k >= df.rdd.getNumPartitions():
+        return df
+    return _materialize(df.coalesce(k), f"{tag}_narrow{k}")
+
+
 def build_graph(
     documents: DataFrame,
     groups: tuple[str, ...] = DEFAULT_GROUPS,
@@ -214,7 +250,12 @@ def build_graph_from_mentions(
     documents. Disambiguation runs here because it is cross-document
     (collision window over all module QNs).
     """
-    mentions = _materialize(disambiguate_modules(raw_mentions), "mentions")
+    wide = _materialize(disambiguate_modules(raw_mentions), "mentions")
+    # dual-width views of the mention store (see the sizing note above):
+    # the ladder reads `wide`, every light consumer reads `mentions`
+    n_rows = wide.count()
+    wide = _narrow(wide, n_rows, _WIDE_ROWS_PER_PARTITION, "mentions_wide")
+    mentions = _narrow(wide, n_rows, _JOIN_ROWS_PER_PARTITION, "mentions")
     # deferred C++ out-of-class binding (no-op unless method_impl rows
     # exist — the isEmpty probe is one cheap scan of the checkpointed
     # frame); the rewritten frame fans out again, so re-materialize
@@ -223,8 +264,11 @@ def build_graph_from_mentions(
     bound = bind_method_impls(mentions)
     if bound is not mentions:
         mentions = _materialize(bound, "mentions_cpp_bound")
+        wide = mentions
     entities = _materialize(mint_entities(mentions), "entities")
-    return assemble_graph(mentions, entities, groups=groups)
+    return assemble_graph(
+        mentions, entities, groups=groups, mentions_wide=wide
+    )
 
 
 def assemble_graph(
@@ -235,6 +279,7 @@ def assemble_graph(
     kept_edges_prov: DataFrame | None = None,
     scope_docs: DataFrame | None = None,
     aux_mentions: DataFrame | None = None,
+    mentions_wide: DataFrame | None = None,
 ) -> GraphResult:
     """The join phase. Full mode: ``mentions`` covers every doc and the kept
     frames are None. Scoped (incremental) mode: ``mentions`` holds only the
@@ -304,14 +349,19 @@ def assemble_graph(
     # fan-out rule: the spliced frame feeds alias + resolve_calls +
     # contract_edges; the aux side is an un-checkpointed window plan over
     # the full mention store, so cut it here
-    resolve_mentions = (
-        mentions
-        if aux_mentions is None
-        else _materialize(
+    if aux_mentions is None:
+        resolve_mentions = mentions
+        # full build: the ladder reads the WIDE view (real per-row work);
+        # scoped/incremental builds are small and use the single view
+        ladder_mentions = (
+            mentions_wide if mentions_wide is not None else mentions
+        )
+    else:
+        resolve_mentions = _materialize(
             mentions.unionByName(aux_mentions, allowMissingColumns=True),
             "resolve_mentions",
         )
-    )
+        ladder_mentions = resolve_mentions
     alias, import_edges, _ = build_alias_frame(
         resolve_mentions,
         modules,
@@ -347,7 +397,7 @@ def assemble_graph(
 
     # ---- calls / refs ----
     resolved = resolve_calls(
-        resolve_mentions, entities, alias, closure, persist_registry=registry
+        ladder_mentions, entities, alias, closure, persist_registry=registry
     )
     # fan-out frame: call_e, the io flow passes, and GraphResult.resolved
     # (resolution_stats) all read it — and un-cut, the ladder plan is the
@@ -371,7 +421,18 @@ def assemble_graph(
         endpoint_e = endpoint_edges(ent_scope, mentions)
         route_e = route_call_edges(ent_scope, mentions)
         rpc_e = rpc_edges(ent_scope, mentions)
+        from code_graph_rag_spark.plans.dispatch import (
+            dispatch_edges,
+            dispatch_resolves,
+        )
         from code_graph_rag_spark.plans.urls import resolves_to_edges
+
+        # string-keyed dispatch registries (plans/dispatch.py; reference
+        # parsers/dispatch_registry.py): registrations EXPOSE and producers
+        # WRITE_TO shared resource::DISPATCH::<key> nodes
+        dispatch_exp, dispatch_wr = dispatch_edges(
+            resolve_mentions, entities, alias
+        )
 
         # io_e and the endpoint union each feed two branches (the edge
         # union AND the URL→endpoint resolver) — materialize per the
@@ -410,6 +471,21 @@ def assemble_graph(
             rpc_all = rpc_e.unionByName(kept_exposes)
         else:
             io_all, exposes_all, rpc_all = io_e, exposes_e, rpc_e
+        # dispatch deployment-suffix resolution is CROSS-DOC like the URL
+        # resolver: produced/registered key sets = this run's rows ∪ the
+        # kept rows (already inside io_all/exposes_all), recomputed
+        # globally every scoped run (reference _db_registered_keys)
+        # project to the (pred, obj) key columns before the union — io_all
+        # carries extra provenance columns (props) the resolver never reads,
+        # and the narrower frames broadcast cheaper
+        dispatch_res = dispatch_resolves(
+            io_all.select("pred", "obj").unionByName(
+                dispatch_wr.select("pred", "obj")
+            ),
+            exposes_all.select("pred", "obj").unionByName(
+                dispatch_exp.select("pred", "obj")
+            ),
+        )
         # Each io member below is sink/route-bounded (tiny) but its plan is
         # Catalyst-heavy (regexp/window resolver trees) — checkpoint them so
         # the edges_prov union optimizes over leaves (measured 54 s → 3 s
@@ -435,6 +511,14 @@ def assemble_graph(
             # parsers/endpoints.py:425-545)
             _materialize(
                 resolves_to_edges(io_all, exposes_all), "resolves_to"
+            ),
+            # dispatch registries: registration + producer + deployment
+            # links (each bounded by registrar/keyword hits — tiny)
+            _materialize(
+                dispatch_exp.unionByName(dispatch_wr).unionByName(
+                    dispatch_res
+                ),
+                "dispatch",
             ),
         ]
 

@@ -126,6 +126,10 @@ def contract_edges(
             "template",
             F.expr("substring(op_str, length(split(op_str, ' ')[0]) + 2)"),
         )
+        # COLD-PATH HOFs by cardinality: these array ops run once per
+        # DISTINCT declared route/URL template (contract-bounded, not
+        # corpus-bounded), so the interpreted-HOF rule's per-token ban does
+        # not apply — at 100 TB this frame is still thousands of rows
         .withColumn(
             "t_segs",
             F.filter(F.split("template", "/"), lambda s: s != ""),

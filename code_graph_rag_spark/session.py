@@ -37,6 +37,30 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # SIZE-first, not parallelism-first: with the default
+        # parallelismFirst=true AQE refuses to coalesce below the core
+        # count, so every tiny join-phase shuffle runs <cores> tasks and the
+        # per-task fixed cost (~130-150 ms CPU: 4 MiB task-binary deser +
+        # codegen dispatch, measured via event logs) scales WITH cores —
+        # the r4 anti-scaling pathology (2,530 tasks / 685 s CPU / 98 s GC
+        # at local[16] vs 862 / 167 s / 8 s at local[4] for the same 20k-doc
+        # build). Size-first is also the 100 TB-correct rule: partition
+        # count tracks bytes, never cluster width.
+        # Advisory size tuned small (8m, not the 64m docs default): shuffle
+        # sizes AQE sees are COMPRESSED bytes, so 64m collapsed the build's
+        # real-work shuffles (~20 MB compressed for 932k edges) to ONE task
+        # and serialized them (measured: the final dedup+phantom-drop action
+        # went 6.9 s → 40 s at local[16]). 8m keeps genuine work at 3-10
+        # tasks while still folding the dozens of trivial KB-sized
+        # join-phase shuffles to a single cheap task.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PFIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -228,6 +228,10 @@ def run_bounded(
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    # pin: the memory sink outlives q.stop(), but callers delete source_dir
+    # pin: the memory sink outlives q.stop(), but callers delete source_dir.
+    # The toPandas round-trip is bounded-harness-only (the memory sink is
+    # already driver-resident, so this adds no new bottleneck class): a
+    # production stream writes to a real sink and never takes this path —
+    # run_bounded exists for the driver-contract oracle comparison.
     out = spark.table(name)
     return spark.createDataFrame(out.toPandas(), schema=out.schema)

@@ -353,3 +353,60 @@ def test_connected_components_long_chain(spark):
     }
     assert len(cc) == n + 1
     assert set(cc.values()) == {"n000"}
+
+
+def test_doc_hash_kernel_matches_expression_twin(spark):
+    """The Arrow-kernel doc hash (r5: shuffle-free pandas_udf replacing the
+    interpreted array-HOF fold) must be byte-identical to the original
+    expression form — stored hash tables from older runs stay valid."""
+    from pyspark.sql import functions as F
+
+    from code_graph_rag_spark.incremental import doc_hashes
+
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "h/a.py",
+                "spans": [
+                    {"kind": "code", "text": "x=1\n", "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": None, "media_ref": "img.png", "offset": 1},
+                    {"kind": "code", "text": "y=2\n", "media_ref": None, "offset": 2},
+                ],
+            },
+            # out-of-order offsets must canonicalize identically
+            {
+                "doc_id": "h/b.py",
+                "spans": [
+                    {"kind": "code", "text": "b\n", "media_ref": "", "offset": 5},
+                    {"kind": "code", "text": "a\n", "media_ref": "", "offset": 1},
+                ],
+            },
+            {"doc_id": "h/empty.py", "spans": []},
+            {"doc_id": "h/uni.py", "spans": [
+                {"kind": "code", "text": "é=∑\n", "media_ref": "", "offset": 0},
+            ]},
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r.doc_id: r.doc_hash for r in doc_hashes(docs).collect()}
+    # the pre-r5 expression form, inlined as the reference twin
+    by_offset = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    canon = F.array_join(
+        F.transform(
+            by_offset,
+            lambda s: F.concat_ws(
+                "\x01", s["kind"], s["text"], s["media_ref"], s["offset"]
+            ),
+        ),
+        "\x02",
+    )
+    want = {
+        r.doc_id: r.h
+        for r in docs.select("doc_id", F.md5(canon).alias("h")).collect()
+    }
+    assert got == want
