@@ -44,9 +44,11 @@ KNOWN_PREDS = {
     "DEFINES_METHOD",
     "IMPORTS",
     "EXPORTS",
+    "EXPORTS_MODULE",
     "DEPENDS_ON_EXTERNAL",
     "INHERITS",
     "IMPLEMENTS",
+    "IMPLEMENTS_MODULE",
     "OVERRIDES",
     "CALLS",
     "REFERENCES",

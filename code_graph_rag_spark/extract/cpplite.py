@@ -41,7 +41,9 @@ from code_graph_rag_spark.extract.jslite import (
     _strip_line,
 )
 
-CPP_EXTENSIONS = frozenset({"h", "hh", "hpp", "hxx", "c", "cc", "cpp", "cxx"})
+CPP_EXTENSIONS = frozenset(
+    {"h", "hh", "hpp", "hxx", "c", "cc", "cpp", "cxx", "cppm", "ixx"}
+)
 
 KEYWORDS = frozenset(
     """alignas alignof and asm auto bool break case catch char class
@@ -61,6 +63,12 @@ _CXX = rf"{_ID}(?:::{_ID})*"
 _TYPE = rf"(?:const\s+)?{_CXX}(?:\s*<[^<>;(){{}}]*>)?(?:\s*[*&]+)?(?:\s+const)?"
 
 _INCLUDE_RE = re.compile(r'^\s*#\s*include\s+(?:"([^"]+)"|<([^>]+)>)')
+# C++20 module declarations (ref parsers/class_ingest/cpp_modules.py:29-52):
+# `export module X;` = interface unit, `module X;` = implementation unit.
+# Name must start with an identifier char, which excludes the global module
+# fragment `module;` and the private fragment `module :private;` — the same
+# two shapes the reference skips (CPP_MODULE_PRIVATE_PREFIX guard).
+_MODULE_DECL_RE = re.compile(r"^\s*(export\s+)?module\s+([A-Za-z_][\w.:]*)\s*;")
 _NAMESPACE_RE = re.compile(rf"^\s*namespace\s+({_CXX})?\s*\{{")
 _CLASS_RE = re.compile(
     rf"(?:^|\b)(?:template\s*<[^<>]*>\s*)?(class|struct)\s+({_ID})"
@@ -219,6 +227,29 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                 )
             continue
         if stripped.startswith("#"):
+            continue
+
+        # C++20 module declaration → module-system mention. Interface QN is
+        # the declared module name verbatim (ref cpp_modules.py:91: the
+        # reference prefixes project_name; our QN scheme has no project
+        # root, so the declared dotted name IS the interface key). The
+        # IMPLEMENTS link to the interface is deferred to the join phase
+        # (cpp_modules.py:149-153: no phantom for an absent interface).
+        mdm = _MODULE_DECL_RE.match(stripped)
+        if mdm:
+            mentions.append(
+                {
+                    "kind": (
+                        "module_interface" if mdm.group(1) else "module_impl"
+                    ),
+                    "name": mdm.group(2),
+                    "parent_qn": module_qn,
+                    "parent_kind": "Module",
+                    "start_line": line_no,
+                    "start_col": 0,
+                    "target": mdm.group(2),
+                }
+            )
             continue
 
         nm = _NAMESPACE_RE.match(line)

@@ -352,6 +352,27 @@ def parse_document(doc_id: str, code_text: str) -> list[dict]:
                     "start_col": 0,
                 }
             )
+            # Module-system labels (ref constants/graph.py:100-101,156-157;
+            # semantics from cpp_modules.py applied to Lua's return-table
+            # convention): the returned table is the module's declared
+            # interface, and the defining file is simultaneously its
+            # implementation unit — one `return M` therefore yields both a
+            # module_interface and a module_impl mention. Interface QN is
+            # `<module_qn>::<table>` (unlike C++, Lua table names are not
+            # globally unique, so the requireable path namespaces the key).
+            iface = f"{module_qn}::{re_m.group(1)}"
+            for mk in ("module_interface", "module_impl"):
+                mentions.append(
+                    {
+                        "kind": mk,
+                        "name": re_m.group(1),
+                        "parent_qn": module_qn,
+                        "parent_kind": "Module",
+                        "start_line": line_no,
+                        "start_col": 0,
+                        "target": iface,
+                    }
+                )
 
         # ---- calls ----
         k_now, caller_qn = caller()

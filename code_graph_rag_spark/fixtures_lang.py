@@ -30,6 +30,9 @@ LANG_ORACLE_PREDS = (
     "IMPLEMENTS",
     "OVERRIDES",
     "DEPENDS_ON_EXTERNAL",
+    # module-system labels (ref constants/graph.py:156-157)
+    "EXPORTS_MODULE",
+    "IMPLEMENTS_MODULE",
 )
 
 JS_DOCS = [
@@ -661,6 +664,11 @@ LUA_EXPECTED = {
     ("lproj.app.use_local", "CALLS", "lproj.shapes.Circle.area"),
     ("lproj.app.use_local", "CALLS", "lproj.shapes.Circle.grow"),
     ("lproj.app.make", "CALLS", "lproj.shapes.Circle.new"),
+    # module-system labels: the returned table is the declared interface
+    # and the defining file its implementation unit (see lualite docstring)
+    ("lproj.shapes", "EXPORTS_MODULE", "lproj.shapes::Circle"),
+    ("lproj.shapes", "IMPLEMENTS_MODULE", "lproj.shapes::Circle_impl"),
+    ("lproj.shapes::Circle_impl", "IMPLEMENTS", "lproj.shapes::Circle"),
 }
 
 LUA_FORBIDDEN = {
@@ -880,6 +888,32 @@ CPP_DOCS = [
             "}\n"
         ),
     ),
+    # C++20 module units (ref cpp_modules.py): one interface, one
+    # implementation of it, and one implementation of an ABSENT interface
+    # (its IMPLEMENTS link must be suppressed — the deferred-impl rule).
+    _doc(
+        "cpproj/geo.cppm",
+        code(
+            "export module geo.core;\n\n"
+            "export int twice(int x) {\n"
+            "    return x + x;\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "cpproj/geo_impl.cpp",
+        code(
+            "module;\n"
+            "module geo.core;\n\n"
+            "int helper_g() {\n"
+            "    return 1;\n"
+            "}\n"
+        ),
+    ),
+    _doc(
+        "cpproj/orphan_impl.cpp",
+        code("module absent.mod;\n"),
+    ),
 ]
 
 CPP_EXPECTED = {
@@ -935,9 +969,19 @@ CPP_EXPECTED = {
     ("cpproj.shapes.use_auto", "CALLS", "cpproj.shapes.make"),
     ("cpproj.shapes.use_auto", "CALLS", "cpproj.shapes.h.Circle.area"),
     ("cpproj.shapes.use_param", "CALLS", "cpproj.shapes.h.Shape.area"),
+    # C++20 module units: declared-name interface key, `_impl` suffix
+    # (cpp_modules.py:91,128); the orphan unit still gets its
+    # IMPLEMENTS_MODULE row (emitted before the deferred gate)
+    ("cpproj.geo", "EXPORTS_MODULE", "geo.core"),
+    ("cpproj.geo_impl", "IMPLEMENTS_MODULE", "geo.core_impl"),
+    ("geo.core_impl", "IMPLEMENTS", "geo.core"),
+    ("cpproj.orphan_impl", "IMPLEMENTS_MODULE", "absent.mod_impl"),
+    ("cpproj.geo_impl", "DEFINES", "cpproj.geo_impl.helper_g"),
 }
 
 CPP_FORBIDDEN = {
+    # deferred-impl rule: no IMPLEMENTS link to an interface nobody exports
+    ("absent.mod_impl", "IMPLEMENTS", "absent.mod"),
     # pointer receiver typed *Shape must never bind Circle's method
     ("cpproj.shapes.use_param", "CALLS", "cpproj.shapes.h.Circle.area"),
     # the out-of-class impls must NOT mint duplicate provisional entities

@@ -136,11 +136,29 @@ def blast_radius(
         .join(F.broadcast(qns), F.col("qn") == F.col("dq"), "left_semi")
         .select("doc_id")
     )
+    # module-system coupling: a changed/deleted interface or implementation
+    # unit can flip another unit's deferred IMPLEMENTS link (the no-phantom
+    # gate, pipeline.py), so every doc declaring the same module name as a
+    # QCD doc joins the radius. Declared names, not entity names — the
+    # interface key never appears as a def name.
+    mod_delta = (
+        old_mentions.unionByName(spliced)
+        .join(qcd, "doc_id", "left_semi")
+        .filter(F.col("kind").isin("module_interface", "module_impl"))
+        .select(F.col("target").alias("mt"))
+        .distinct()
+    )
+    mod_resolvers = (
+        spliced.filter(F.col("kind").isin("module_interface", "module_impl"))
+        .join(F.broadcast(mod_delta), F.col("target") == F.col("mt"), "left_semi")
+        .select("doc_id")
+    )
     affected = (
         qcd.unionByName(callers)
         .unionByName(importers)
         .unionByName(def_sharers)
         .unionByName(qn_sharers)
+        .unionByName(mod_resolvers)
         .distinct()
         .localCheckpoint(eager=True)
     )

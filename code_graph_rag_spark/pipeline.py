@@ -559,6 +559,63 @@ def assemble_graph(
         )
     )
 
+    # ---- module-system labels (ref cpp_modules.py, constants/graph.py:
+    # 100-101,156-157): `export module X;` → Module EXPORTS_MODULE
+    # ModuleInterface(X); `module X;` → Module IMPLEMENTS_MODULE
+    # ModuleImplementation(X_impl); the impl→interface IMPLEMENTS link is
+    # DEFERRED (cpp_modules.py:149-153) — a left-semi join against the
+    # interface set suppresses the phantom for an absent interface. All
+    # three frames are bounded by module-declaration counts (one or two
+    # rows per translation unit), so they ride the edge union unbroadcast.
+    mod_iface_m = mentions.filter(F.col("kind") == "module_interface")
+    mod_impl_m = mentions.filter(F.col("kind") == "module_impl")
+    mod_iface_e = mod_iface_m.select(
+        F.col("module_qn").alias("subj"),
+        F.lit("EXPORTS_MODULE").alias("pred"),
+        F.col("target").alias("obj"),
+        F.lit("Module").alias("subj_label"),
+        F.lit("ModuleInterface").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
+    )
+    mod_impl_e = mod_impl_m.select(
+        F.col("module_qn").alias("subj"),
+        F.lit("IMPLEMENTS_MODULE").alias("pred"),
+        F.concat(F.col("target"), F.lit("_impl")).alias("obj"),
+        F.lit("Module").alias("subj_label"),
+        F.lit("ModuleImplementation").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
+    )
+    # the deferred gate must see the GLOBAL interface universe: in a scoped
+    # incremental rebuild the unchanged interface doc's mention is absent,
+    # but its kept EXPORTS_MODULE edge still names the interface
+    iface_universe = mod_iface_m.select(F.col("target").alias("obj"))
+    if kept_edges_prov is not None:
+        iface_universe = iface_universe.unionByName(
+            kept_edges_prov.filter(F.col("pred") == "EXPORTS_MODULE").select(
+                "obj"
+            )
+        )
+    impl_link_e = (
+        mod_impl_m.select(
+            F.concat(F.col("target"), F.lit("_impl")).alias("subj"),
+            F.col("target").alias("obj"),
+            F.col("doc_id").alias("src_doc"),
+        )
+        .join(
+            iface_universe.distinct(),
+            "obj",
+            "leftsemi",
+        )
+        .select(
+            "subj",
+            F.lit("IMPLEMENTS").alias("pred"),
+            "obj",
+            F.lit("ModuleImplementation").alias("subj_label"),
+            F.lit("ModuleInterface").alias("obj_label"),
+            "src_doc",
+        )
+    )
+
     # ---- media spans → HAS_MEDIA via the tightest-containing-span range
     # join (plans/spans.py — the macro/location attribution analogue of
     # graph_updater.py:499-549, fed by the interleaved input contract) ----
@@ -617,6 +674,9 @@ def assemble_graph(
         inh_e,
         ovr_e,
         exports,
+        mod_iface_e,
+        mod_impl_e,
+        impl_link_e,
         deps,
         media_edges,
         *io_group,
@@ -658,6 +718,24 @@ def assemble_graph(
         )
         .dropDuplicates(["id"])
     )
+    # ModuleInterface/ModuleImplementation nodes are edge-derived like
+    # Resource/MediaAsset: every module-system QN appears as the obj of an
+    # EXPORTS_MODULE / IMPLEMENTS_MODULE / IMPLEMENTS row, so minting from
+    # obj_label keeps nodes and edges gated by the same capture groups.
+    # Node name = last `::` segment (C++: the declared dotted name verbatim;
+    # Lua: the returned table, whose key is path-namespaced).
+    modsys_nodes = (
+        edges_prov.filter(
+            F.col("obj_label").isin("ModuleInterface", "ModuleImplementation")
+        )
+        .select(
+            F.col("obj_label").alias("label"),
+            F.col("obj").alias("id"),
+            F.element_at(F.split("obj", "::"), -1).alias("name"),
+            F.col("src_doc").alias("path"),
+        )
+        .dropDuplicates(["label", "id"])
+    )
     media_nodes = (
         edges_prov.filter(F.col("pred") == "HAS_MEDIA")
         .select(
@@ -675,6 +753,7 @@ def assemble_graph(
         .unionByName(_pad_nodes(ext_pkg_nodes))
         .unionByName(_pad_nodes(media_nodes))
         .unionByName(_pad_nodes(resource_nodes))
+        .unionByName(_pad_nodes(modsys_nodes))
     )
     if finding_nodes is not None:
         nodes = nodes.unionByName(_pad_nodes(finding_nodes))

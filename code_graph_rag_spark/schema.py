@@ -25,6 +25,8 @@ NODE_KEYS: dict[str, str] = {
     "Interface": "qualified_name",
     "Enum": "qualified_name",
     "ExternalModule": "qualified_name",
+    "ModuleInterface": "qualified_name",
+    "ModuleImplementation": "qualified_name",
     "ExternalPackage": "name",
     "MediaAsset": "name",
     "Resource": "qualified_name",
@@ -42,8 +44,8 @@ CAPTURE_GROUPS: dict[str, set[str]] = {
         "DEFINES",
         "DEFINES_METHOD",
     },
-    "imports": {"IMPORTS", "EXPORTS", "DEPENDS_ON_EXTERNAL"},
-    "types": {"INHERITS", "IMPLEMENTS", "OVERRIDES"},
+    "imports": {"IMPORTS", "EXPORTS", "EXPORTS_MODULE", "DEPENDS_ON_EXTERNAL"},
+    "types": {"INHERITS", "IMPLEMENTS", "IMPLEMENTS_MODULE", "OVERRIDES"},
     "calls": {"CALLS", "REFERENCES", "INSTANTIATES"},
     "io": {"READS_FROM", "WRITES_TO", "FLOWS_TO", "EXPOSES", "RESOLVES_TO"},
     "findings": {"IMPLEMENTS_PATTERN", "HAS_SMELL", "HAS_VULNERABILITY"},

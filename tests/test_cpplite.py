@@ -110,3 +110,23 @@ def test_scoped_calls_normalize():
     calls = {m["callee"] for m in _by_kind(ms, "call")}
     assert "Base.helper" in calls
     assert "ns.util.go" in calls
+
+
+def test_cpp20_module_declarations():
+    # interface unit: `export module X;` (cpp_modules.py:77-103)
+    ms = parse_document("p/geo.cppm", "export module geo.core;\n")
+    mi = _by_kind(ms, "module_interface")
+    assert [(m["target"], m["name"]) for m in mi] == [("geo.core", "geo.core")]
+    # implementation unit: `module X;` (cpp_modules.py:113-145)
+    ms = parse_document("p/gi.cpp", "module geo.core;\nint f() {\n}\n")
+    mp = _by_kind(ms, "module_impl")
+    assert [m["target"] for m in mp] == ["geo.core"]
+
+
+def test_cpp20_module_fragments_skipped():
+    # global fragment `module;` and private fragment `module :private;`
+    # must emit nothing (the reference's CPP_MODULE_PRIVATE_PREFIX guard)
+    src = "module;\nmodule :private;\n"
+    ms = parse_document("p/frag.cpp", src)
+    assert not _by_kind(ms, "module_interface")
+    assert not _by_kind(ms, "module_impl")

@@ -410,3 +410,43 @@ def test_doc_hash_kernel_matches_expression_twin(spark):
         for r in docs.select("doc_id", F.md5(canon).alias("h")).collect()
     }
     assert got == want
+
+
+def test_incremental_module_system_links(spark, store_dir):
+    """The deferred impl→interface IMPLEMENTS gate must see the GLOBAL
+    interface universe in a scoped rebuild (scoped mentions ∪ kept
+    EXPORTS_MODULE edges), and a deleted interface doc must pull its
+    implementation units into the blast radius so the stale link dies."""
+    from code_graph_rag_spark.incremental import StageStore, incremental_build
+
+    iface = _doc("mproj/geo.cppm", "export module geo.core;\n")
+    impl = _doc("mproj/geo_impl.cpp", "module geo.core;\nint f() {\n}\n")
+    # enough unrelated filler that the blast radius stays under the scoped
+    # threshold — the point is to exercise the SCOPED path's gate
+    filler = [
+        _doc(f"mproj/fill{i}.cpp", f"int g{i}() {{\n}}\n") for i in range(8)
+    ]
+    store = StageStore(store_dir)
+    g1, _ = incremental_build(
+        spark, _docs(spark, [iface, impl, *filler]), store
+    )
+    link = ("geo.core_impl", "IMPLEMENTS", "geo.core")
+    assert link in _triples(g1)
+
+    # edit ONLY the impl doc: the unchanged interface is outside the scope,
+    # but the kept EXPORTS_MODULE edge must still satisfy the gate
+    impl2 = _doc("mproj/geo_impl.cpp", "module geo.core;\nint f2() {\n}\n")
+    g2, stats2 = incremental_build(
+        spark, _docs(spark, [iface, impl2, *filler]), store
+    )
+    assert stats2.get("mode") == "incremental_scoped"
+    assert link in _triples(g2)
+
+    # delete the interface doc: the impl doc's IMPLEMENTS link must NOT
+    # survive as a stale kept edge (the blast radius must pull the impl
+    # doc in via the declared-module-name delta)
+    g3, stats3 = incremental_build(spark, _docs(spark, [impl2, *filler]), store)
+    assert stats3.get("mode") == "incremental_scoped"
+    t3 = _triples(g3)
+    assert link not in t3
+    assert ("mproj.geo_impl", "IMPLEMENTS_MODULE", "geo.core_impl") in t3

@@ -121,3 +121,15 @@ def test_no_def_header_self_calls():
     )
     ms = parse_document("lproj/h.lua", src)
     assert not _by_kind(ms, "call")
+
+
+def test_return_table_module_system_mentions():
+    src = "local M = {}\nfunction M.f()\nend\nreturn M\n"
+    ms = parse_document("lproj/mod.lua", src)
+    mi = _by_kind(ms, "module_interface")
+    mp = _by_kind(ms, "module_impl")
+    assert [m["target"] for m in mi] == ["lproj.mod::M"]
+    assert [m["target"] for m in mp] == ["lproj.mod::M"]
+    # a bare value return is not a module interface
+    ms2 = parse_document("lproj/val.lua", "return 42\n")
+    assert not _by_kind(ms2, "module_interface")
