@@ -588,7 +588,9 @@ def kg_cpp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-class method pass as joins (Ret Cls::name bodies bind to the
     header's class across the basename-collision module split), header
     declarations as entities, include resolution, pointer/auto/declared
-    receivers."""
+    receivers; C++20 module units (cpp_modules.py) — EXPORTS_MODULE /
+    IMPLEMENTS_MODULE plus the deferred impl→interface IMPLEMENTS with the
+    no-phantom gate (the orphan unit's link is in the forbidden set)."""
     from code_graph_rag_spark.fixtures_lang import CPP_DOCS
 
     return _lang_build(spark, CPP_DOCS)
@@ -598,7 +600,9 @@ def kg_lua_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lua language tier end-to-end (parsers/lua/ analogue): table-as-class
     with colon methods, require-binding imports, the constructor
     return-setmetatable pattern through the fn-return hop, return-table
-    exports."""
+    exports; module-system labels for the return-table convention
+    (path-namespaced ModuleInterface + the file as its implementation
+    unit)."""
     from code_graph_rag_spark.fixtures_lang import LUA_DOCS
 
     return _lang_build(spark, LUA_DOCS)
