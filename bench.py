@@ -7,8 +7,8 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Also reports the KG-construction throughput (triples/sec over a
 deterministic synthetic interleaved-span corpus — BASELINE.json metric) and
 a DEFAULT-ON local[N] vs local[4N] scaling block (sandbox stand-in for the
-north rule's N vs 4N executors; SPARK_GRAFT_SCALING=1 for the full 20k-doc
-protocol, =0 to skip while iterating).
+north rule's N vs 4N executors; 20k docs, 3 alternating legs per config;
+SPARK_GRAFT_SCALING=0 to skip while iterating).
 """
 
 from __future__ import annotations
@@ -212,9 +212,9 @@ def main() -> None:
     }
     # Scaling block is DEFAULT-ON (r4 VERDICT #3): the driver runs bench.py
     # bare, and BENCH_r{N}.json must carry the north-rule two-cluster-size
-    # evidence. Modes: unset/"small" -> 10k docs, min-of-2 alternating legs
-    # (adds ~10-15 min); "1" -> the full 20k-doc 3-run protocol;
-    # "0" -> skip (iterating on the query legs only).
+    # evidence: 20k docs, 3 alternating fresh-subprocess legs per config,
+    # min per config (adds ~10-15 min). "0" -> skip (iterating on the
+    # query legs only).
     _scaling_mode = os.environ.get("SPARK_GRAFT_SCALING", "small")
     if _scaling_mode != "0":
         # the two-cluster-size criterion: identical input, N vs 4N cores.
@@ -243,12 +243,10 @@ def main() -> None:
         # earlier), long enough that the ~40 s fixed stage cost is <half
         # of the small leg. The min per config is the least-contaminated
         # observation.
-        _full = _scaling_mode == "1"
-        sdocs = int(
-            os.environ.get(
-                "SPARK_GRAFT_SCALING_DOCS", "20000" if _full else "10000"
-            )
-        )
+        # small mode measures the same 20k-doc regime as full: at 10k docs
+        # the ~35 s core-count-independent join phase is most of the leg and
+        # the block measures the fixed cost, not the engine's scaling
+        sdocs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "20000"))
         # 3 alternating runs per config even in small mode: round-5 event
         # logs measured a 48x same-stage spread across contention windows
         # at 16 threads — a 2-leg min is not a credible minimum on this box
