@@ -660,6 +660,37 @@ def kg_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_external(stdlib_probe_df(spark)).orderBy("language", "qn")
 
 
+def kg_stdlib_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated stdlib annotation (opt-in ``stdlib`` capture
+    group; reference applies stdlib_extractor at import_processor.py:2178 to
+    normalize external node identity to the owning module): a full
+    multi-language build over the stdfix corpus, returning every
+    ExternalModule node with its is_stdlib/module_path props decoded. The
+    annotation itself is a pure codegen fold + one groupBy over the distinct
+    external-id set (ecosystem-bounded). Oracle = VALUES replay of the
+    hand-derived per-language outcomes (plans/stdlib.py
+    STDLIB_FIXTURE_EXPECTED)."""
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.plans.stdlib import stdlib_fixture_docs
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS
+
+    g = build_graph(
+        stdlib_fixture_docs(spark), groups=DEFAULT_GROUPS + ("stdlib",)
+    )
+    return (
+        g.nodes.filter(F.col("label") == "ExternalModule")
+        .select(
+            "id",
+            "name",
+            F.get_json_object("props", "$.is_stdlib")
+            .cast("int")
+            .alias("is_stdlib"),
+            F.get_json_object("props", "$.module_path").alias("module_path"),
+        )
+        .orderBy("id")
+    )
+
+
 def kg_cs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C# language tier end-to-end (parsers/csharp/ analogue): Allman
     braces, file-scoped namespaces, single base list splitting
@@ -1538,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ruby_build": kg_ruby_build,
         "kg_dispatch": kg_dispatch,
         "kg_stdlib": kg_stdlib,
+        "kg_stdlib_nodes": kg_stdlib_nodes,
         # Cypher-subset read path (v1.0 + v1.1)
         "kg_cypher_audit": kg_cypher_audit,
         "kg_cypher_defines": kg_cypher_defines,
@@ -1563,10 +1595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale-critical dedup/ANN paths (bucketed band joins, multi-probe
         # LSH, IVF) — keep under hard certification every round
         "dedup_lsh_candidates": dedup_lsh_candidates,
-        "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         # ---- position 50 boundary (entries below are green veterans,
         # driver-certified in CORRECTNESS_r02/r03/r04) ----
+        "ann_lsh_topk": ann_lsh_topk,
         "emb_near_dups": emb_near_dups,
         # relational operator coverage (SURVEY §2.3/2.4/2.6/2.7/2.8/2.9)
         "q1_pricing_summary": q1_pricing_summary,
@@ -1703,6 +1735,25 @@ def _stdlib_sql() -> str:
     from code_graph_rag_spark.plans.stdlib import fold_oracle_sql
 
     return fold_oracle_sql()
+
+
+def _stdlib_nodes_sql() -> str:
+    """VALUES oracle for kg_stdlib_nodes: the hand-derived ExternalModule
+    annotation set for the stdfix corpus (one row per external node across
+    py/js/java/rust/go/cpp; plans/stdlib.py STDLIB_FIXTURE_EXPECTED)."""
+    from code_graph_rag_spark.plans.stdlib import STDLIB_FIXTURE_EXPECTED
+
+    rows = ",\n                ".join(
+        f"('{i}', '{n}', {s}, '{m}')"
+        for i, (n, s, m) in sorted(STDLIB_FIXTURE_EXPECTED.items())
+    )
+    return f"""
+        SELECT id, name, is_stdlib::INT AS is_stdlib, module_path
+        FROM (VALUES
+                {rows}
+        ) AS t(id, name, is_stdlib, module_path)
+        ORDER BY id
+    """
 
 
 def _lang_build_sql(expected: set) -> str:
@@ -1942,6 +1993,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_ruby_build": _lang_build_sql(_FL.RUBY_EXPECTED),
         "kg_dispatch": _dispatch_sql(),
         "kg_stdlib": _stdlib_sql(),
+        "kg_stdlib_nodes": _stdlib_nodes_sql(),
         "kg_cs_build": _lang_build_sql(_FL.CS_EXPECTED),
         "kg_cpp_build": _lang_build_sql(_FL.CPP_EXPECTED),
         "kg_dart_build": _lang_build_sql(_FL.DART_EXPECTED),

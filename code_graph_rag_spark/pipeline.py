@@ -698,6 +698,15 @@ def assemble_graph(
     edges_prov = _materialize(dedup_edges(edges_prov, by_src=True), "edges_prov")
 
     ext_nodes = ext_nodes_from_edges(edges_prov)
+    if "stdlib" in groups:
+        # opt-in stdlib annotation (plans/stdlib.py; reference
+        # parsers/stdlib_extractor.py via import_processor.py:2178):
+        # ExternalModule nodes gain is_stdlib/module_path props. Pure
+        # expression fold + one groupBy over the distinct external-id set
+        # (ecosystem-bounded — broadcast-sized at any corpus scale).
+        from code_graph_rag_spark.plans.stdlib import annotate_external_nodes
+
+        ext_nodes = annotate_external_nodes(ext_nodes, edges_prov)
     ext_pkg_nodes = (
         edges_prov.filter(F.col("obj_label") == "ExternalPackage")
         .select(

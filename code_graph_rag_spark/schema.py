@@ -52,6 +52,11 @@ CAPTURE_GROUPS: dict[str, set[str]] = {
     # engine extension for the interleaved-span input contract: media spans
     # attributed to their tightest enclosing definition (plans/spans.py)
     "media": {"HAS_MEDIA"},
+    # transform-only group (no predicates of its own): annotates
+    # ExternalModule nodes with is_stdlib / module_path via the static-table
+    # fold (plans/stdlib.py, reference parsers/stdlib_extractor.py) — opt-in
+    # like the reference's toolchain probes
+    "stdlib": set(),
 }
 DEFAULT_GROUPS = ("structure", "imports", "types", "calls", "media")
 

@@ -6,11 +6,15 @@ mapping). These tests pin the branch outcomes the probe corpus exercises so
 a rule regression fails here before it reaches the driver oracle.
 """
 
+import json
+
 import pytest
 
 from code_graph_rag_spark.plans.stdlib import (
+    STDLIB_FIXTURE_EXPECTED,
     STDLIB_PROBES,
     fold_external,
+    stdlib_fixture_docs,
     stdlib_probe_df,
 )
 
@@ -117,3 +121,42 @@ def test_idempotent_on_folded_paths(spark):
     ]
     wrong = {k: refolded[k] for k in stable if refolded[k] != k[0]}
     assert not wrong, wrong
+
+
+def test_pipeline_annotation(spark):
+    # full build with the opt-in 'stdlib' group: every ExternalModule node
+    # carries is_stdlib/module_path props matching the hand-derived set
+    # (normalized-QN rules — the kernels pre-split symbols and dot-join
+    # separators, so the pipeline shape differs from the as-written probes)
+    from code_graph_rag_spark.pipeline import build_graph
+    from code_graph_rag_spark.schema import DEFAULT_GROUPS
+
+    g = build_graph(
+        stdlib_fixture_docs(spark), groups=DEFAULT_GROUPS + ("stdlib",)
+    )
+    rows = g.nodes.filter("label = 'ExternalModule'").collect()
+    got = {}
+    for r in rows:
+        p = json.loads(r.props) if r.props else {}
+        got[r.id] = (r.name, p.get("is_stdlib"), p.get("module_path"))
+    assert got == STDLIB_FIXTURE_EXPECTED, {
+        k: (got.get(k), STDLIB_FIXTURE_EXPECTED.get(k))
+        for k in set(got) ^ set(STDLIB_FIXTURE_EXPECTED)
+        | {
+            k
+            for k in set(got) & set(STDLIB_FIXTURE_EXPECTED)
+            if got[k] != STDLIB_FIXTURE_EXPECTED[k]
+        }
+    }
+    g.unpersist()
+
+
+def test_default_build_unannotated(spark):
+    # without the group, the node surface is unchanged: ExternalModule
+    # props stays null (the annotation is strictly opt-in)
+    from code_graph_rag_spark.pipeline import build_graph
+
+    g = build_graph(stdlib_fixture_docs(spark))
+    rows = g.nodes.filter("label = 'ExternalModule'").collect()
+    assert rows and all(r.props is None for r in rows)
+    g.unpersist()
