@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -45,6 +46,7 @@ from code_graph_rag_spark.plans.resolution import (
     build_alias_frame,
     call_edges,
     resolve_calls,
+    resolve_receiver_classes,
 )
 from code_graph_rag_spark.plans.io_flow import flow_edges, io_edges
 from code_graph_rag_spark.plans.spans import tightest_containing_span
@@ -182,6 +184,31 @@ def _materialize(df: DataFrame, tag: str = "") -> DataFrame:
             flush=True,
         )
     return out
+
+
+def _materialize_all(named: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Materialize several INDEPENDENT stage frames concurrently.
+
+    Each entry is ``_materialize``d on its own driver thread: while one
+    stage sits in a driver-side gap (Catalyst optimization, AQE
+    re-planning between shuffle stages, scheduler submit latency) the
+    others' tasks keep the executor threads busy, so the per-stage fixed
+    costs overlap instead of summing into the build's serial critical
+    path — the rounds-4/5 strong-scaling finding was exactly that the
+    ~150-job join phase is core-count-flat because those gaps chain.
+
+    Correctness precondition: every ancestor SHARED by two entries must
+    already be checkpointed/persisted (call sites only pass plans over
+    the materialized mentions/entities/alias/closure frames), so
+    concurrent jobs never race to compute a shared parent twice.
+    ``CGR_SEQUENTIAL_STAGES=1`` restores serial submission (the A/B and
+    fallback knob). Dict order = submission order; put the
+    critical-path frame first."""
+    if os.environ.get("CGR_SEQUENTIAL_STAGES") or len(named) <= 1:
+        return {k: _materialize(df, k) for k, df in named.items()}
+    with ThreadPoolExecutor(max_workers=len(named)) as ex:
+        futs = [(k, ex.submit(_materialize, df, k)) for k, df in named.items()]
+        return {k: f.result() for k, f in futs}
 
 
 def _mark(tag: str) -> None:
@@ -372,23 +399,97 @@ def assemble_graph(
     )
     alias = _materialize(alias, "alias")  # consumed by calls + inherits branches
 
+    # ---- media spans → HAS_MEDIA via the tightest-containing-span range
+    # join (plans/spans.py — the macro/location attribution analogue of
+    # graph_updater.py:499-549, fed by the interleaved input contract).
+    # Plan built here (it reads only the checkpointed mentions/entities)
+    # so it can materialize concurrently with the type-edge branch. ----
+    media = mentions.filter(F.col("kind") == "media").select(
+        "doc_id",
+        F.concat_ws("#", "doc_id", "name", "start_line").alias("use_id"),
+        F.col("start_line").alias("line"),
+        F.col("end_line").alias("line_hi"),
+        F.col("name").alias("media_ref"),
+        F.col("module_qn"),
+    )
+    span_defs = entities.filter(
+        F.col("label").isin("Function", "Method", "Class")
+    ).select(
+        "doc_id",
+        F.col("qualified_name").alias("def_qn"),
+        "start_line",
+        "end_line",
+        F.col("label").alias("def_label"),
+    )
+    contained = tightest_containing_span(
+        media.select("doc_id", "use_id", "line", "line_hi"), span_defs
+    ).join(
+        span_defs.select("def_qn", "def_label").dropDuplicates(["def_qn"]),
+        "def_qn",
+    )
+    media_plan = media.join(contained, "use_id", "left").select(
+        # fallback: a media span between top-level definitions attaches
+        # to the module itself
+        F.coalesce("def_qn", "module_qn").alias("subj"),
+        F.lit("HAS_MEDIA").alias("pred"),
+        F.col("media_ref").alias("obj"),
+        F.coalesce("def_label", F.lit("Module")).alias("subj_label"),
+        F.lit("MediaAsset").alias("obj_label"),
+        F.col("doc_id").alias("src_doc"),
+    )
+
     # ---- type edges first: the ancestor closure feeds the super()/
     # inherited-self/typed-receiver rungs of call resolution. The closure
     # must see the GLOBAL hierarchy: scoped INHERITS ∪ kept type edges. ----
-    inh_e = _materialize(
-        resolve_inherits(mentions, entities, alias, persist_registry=registry),
-        "inherits",
-    )
-    if kept_edges_prov is not None:
-        closure_src = inh_e.select(
-            "subj", "pred", "obj", "subj_label", "obj_label", "props", "src_doc"
-        ).unionByName(
-            kept_edges_prov.filter(F.col("pred").isin(*_TYPE_PREDS))
+    def _closure_branch():
+        inh = _materialize(
+            resolve_inherits(
+                mentions, entities, alias, persist_registry=registry
+            ),
+            "inherits",
         )
+        if kept_edges_prov is not None:
+            src = inh.select(
+                "subj",
+                "pred",
+                "obj",
+                "subj_label",
+                "obj_label",
+                "props",
+                "src_doc",
+            ).unionByName(
+                kept_edges_prov.filter(F.col("pred").isin(*_TYPE_PREDS))
+            )
+        else:
+            src = inh
+        return inh, src, ancestor_closure(src)
+
+    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+        inh_e, closure_src, closure = _closure_branch()
+        recv_cls = None  # resolve_calls computes + persists it
+        media_edges = media_plan
     else:
-        closure_src = inh_e
-    closure = ancestor_closure(closure_src)
-    ovr_e = override_edges(
+        # three independent branches: the closure chain is a serial run of
+        # sub-second actions (checkpoint + count per doubling) whose driver
+        # gaps leave the executor threads idle — the receiver-class map
+        # (consumed by the ladder's typed rungs right after) and the media
+        # attribution fill them. All three read only checkpointed parents.
+        # recv_cls MUST come from resolve_mentions — the frame the ladder
+        # reads modulo partitioning: in scoped mode it carries the aux
+        # out-of-scope `returns` rows the typed-receiver rungs need.
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_clo = ex.submit(_closure_branch)
+            f_recv = ex.submit(
+                _materialize,
+                resolve_receiver_classes(resolve_mentions, entities, alias),
+                "recv_cls",
+            )
+            f_media = ex.submit(_materialize, media_plan, "media")
+            inh_e, closure_src, closure = f_clo.result()
+            recv_cls = f_recv.result()
+            media_edges = f_media.result()
+
+    ovr_plan = override_edges(
         entities, closure_src, closure, scope_docs=scope_docs
     ).unionByName(
         # cross-branch MRO sibling shadows (method_override.py:70-153)
@@ -396,14 +497,26 @@ def assemble_graph(
     )
 
     # ---- calls / refs ----
-    resolved = resolve_calls(
-        ladder_mentions, entities, alias, closure, persist_registry=registry
+    resolved_plan = resolve_calls(
+        ladder_mentions,
+        entities,
+        alias,
+        closure,
+        persist_registry=registry,
+        recv_cls=recv_cls,
     )
     # fan-out frame: call_e, the io flow passes, and GraphResult.resolved
     # (resolution_stats) all read it — and un-cut, the ladder plan is the
     # bulk of the edges_prov union's Catalyst time (15 s default / 54 s io
-    # at fixture scale)
-    resolved = _materialize(resolved, "resolved")
+    # at fixture scale). The override/MRO pass is independent of the ladder
+    # (it reads entities + the checkpointed closure), so it materializes
+    # concurrently — cutting it out of the edges_prov action's tree.
+    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+        resolved = _materialize(resolved_plan, "resolved")
+        ovr_e = ovr_plan  # rides the edges_prov union lazily, as pre-r5
+    else:
+        _b = _materialize_all({"resolved": resolved_plan, "overrides": ovr_plan})
+        resolved, ovr_e = _b["resolved"], _b["overrides"]
     call_e = call_edges(resolved, entities)
 
     # ---- io capture group (off in DEFAULT_GROUPS, like the reference);
@@ -436,11 +549,15 @@ def assemble_graph(
 
         # io_e and the endpoint union each feed two branches (the edge
         # union AND the URL→endpoint resolver) — materialize per the
-        # fan-out rule; both are sink-match-sized, tiny vs the corpus
-        io_e = _materialize(io_edges(mentions, alias), "io_edges")
-        exposes_e = _materialize(
-            endpoint_e.unionByName(route_e), "exposes"
+        # fan-out rule; both are sink-match-sized, tiny vs the corpus,
+        # and independent of each other → one concurrent batch
+        _io_b = _materialize_all(
+            {
+                "io_edges": io_edges(mentions, alias),
+                "exposes": endpoint_e.unionByName(route_e),
+            }
         )
+        io_e, exposes_e = _io_b["io_edges"], _io_b["exposes"]
         # Scoped mode: the URL→endpoint and contract resolvers are
         # CROSS-DOC — a scoped client URL must still match an unchanged
         # doc's route (and vice versa), and the contract ambiguity window
@@ -457,17 +574,17 @@ def assemble_graph(
             # regexp/window trees build over leaves, not over the kept
             # union plans (fan-out rule)
             kept_exposes = kept_edges_prov.filter(F.col("pred") == "EXPOSES")
-            io_all = _materialize(
-                io_e.unionByName(
-                    kept_edges_prov.filter(
-                        F.col("pred").isin("READS_FROM", "WRITES_TO")
-                    )
-                ),
-                "io_all",
+            _all_b = _materialize_all(
+                {
+                    "io_all": io_e.unionByName(
+                        kept_edges_prov.filter(
+                            F.col("pred").isin("READS_FROM", "WRITES_TO")
+                        )
+                    ),
+                    "exposes_all": exposes_e.unionByName(kept_exposes),
+                }
             )
-            exposes_all = _materialize(
-                exposes_e.unionByName(kept_exposes), "exposes_all"
-            )
+            io_all, exposes_all = _all_b["io_all"], _all_b["exposes_all"]
             rpc_all = rpc_e.unionByName(kept_exposes)
         else:
             io_all, exposes_all, rpc_all = io_e, exposes_e, rpc_e
@@ -490,36 +607,44 @@ def assemble_graph(
         # Catalyst-heavy (regexp/window resolver trees) — checkpoint them so
         # the edges_prov union optimizes over leaves (measured 54 s → 3 s
         # for that action at fixture scale; one io build 150 s → 34 s).
-        io_group = [
-            io_e,
-            _materialize(flow_edges(resolved), "flow"),
-            _materialize(
-                arg_flow_edges(mentions, resolved, alias), "arg_flow"
-            ),
-            exposes_e,
-            rpc_e,
-            # contract linking consumes the artefact frames the passes
-            # above produced (reference runs contract_linking after
-            # endpoints + rpc exposure for the same reason); contract_op
-            # facts come from resolve_mentions so the scoped path's aux
-            # rows give the ambiguity window its global view
-            _materialize(
-                contract_edges(resolve_mentions, exposes_all, rpc_all),
-                "contracts",
-            ),
-            # client URL literals → matching routes (link_endpoints,
-            # parsers/endpoints.py:425-545)
-            _materialize(
-                resolves_to_edges(io_all, exposes_all), "resolves_to"
-            ),
-            # dispatch registries: registration + producer + deployment
-            # links (each bounded by registrar/keyword hits — tiny)
-            _materialize(
-                dispatch_exp.unionByName(dispatch_wr).unionByName(
+        # the five io passes below are mutually independent once resolved /
+        # io_all / exposes_all are cut — one concurrent batch instead of
+        # five serial Catalyst-heavy materializations (fan-out rule note:
+        # each is sink/route-bounded (tiny) but its plan is a deep
+        # regexp/window resolver tree — checkpointing keeps the edges_prov
+        # union optimizing over leaves; measured 54 s → 3 s at fixture
+        # scale when these were first cut in r3)
+        _io_g = _materialize_all(
+            {
+                "flow": flow_edges(resolved),
+                "arg_flow": arg_flow_edges(mentions, resolved, alias),
+                # contract linking consumes the artefact frames the passes
+                # above produced (reference runs contract_linking after
+                # endpoints + rpc exposure for the same reason); contract_op
+                # facts come from resolve_mentions so the scoped path's aux
+                # rows give the ambiguity window its global view
+                "contracts": contract_edges(
+                    resolve_mentions, exposes_all, rpc_all
+                ),
+                # client URL literals → matching routes (link_endpoints,
+                # parsers/endpoints.py:425-545)
+                "resolves_to": resolves_to_edges(io_all, exposes_all),
+                # dispatch registries: registration + producer + deployment
+                # links (each bounded by registrar/keyword hits — tiny)
+                "dispatch": dispatch_exp.unionByName(dispatch_wr).unionByName(
                     dispatch_res
                 ),
-                "dispatch",
-            ),
+            }
+        )
+        io_group = [
+            io_e,
+            _io_g["flow"],
+            _io_g["arg_flow"],
+            exposes_e,
+            rpc_e,
+            _io_g["contracts"],
+            _io_g["resolves_to"],
+            _io_g["dispatch"],
         ]
 
     # ---- findings capture group (off by default, like the reference's
@@ -614,43 +739,6 @@ def assemble_graph(
             F.lit("ModuleInterface").alias("obj_label"),
             "src_doc",
         )
-    )
-
-    # ---- media spans → HAS_MEDIA via the tightest-containing-span range
-    # join (plans/spans.py — the macro/location attribution analogue of
-    # graph_updater.py:499-549, fed by the interleaved input contract) ----
-    media = mentions.filter(F.col("kind") == "media").select(
-        "doc_id",
-        F.concat_ws("#", "doc_id", "name", "start_line").alias("use_id"),
-        F.col("start_line").alias("line"),
-        F.col("end_line").alias("line_hi"),
-        F.col("name").alias("media_ref"),
-        F.col("module_qn"),
-    )
-    span_defs = entities.filter(
-        F.col("label").isin("Function", "Method", "Class")
-    ).select(
-        "doc_id",
-        F.col("qualified_name").alias("def_qn"),
-        "start_line",
-        "end_line",
-        F.col("label").alias("def_label"),
-    )
-    contained = tightest_containing_span(
-        media.select("doc_id", "use_id", "line", "line_hi"), span_defs
-    ).join(
-        span_defs.select("def_qn", "def_label").dropDuplicates(["def_qn"]),
-        "def_qn",
-    )
-    media_edges = media.join(contained, "use_id", "left").select(
-        # fallback: a media span between top-level definitions attaches
-        # to the module itself
-        F.coalesce("def_qn", "module_qn").alias("subj"),
-        F.lit("HAS_MEDIA").alias("pred"),
-        F.col("media_ref").alias("obj"),
-        F.coalesce("def_label", F.lit("Module")).alias("subj_label"),
-        F.lit("MediaAsset").alias("obj_label"),
-        F.col("doc_id").alias("src_doc"),
     )
 
     # ---- dependency manifests → Project DEPENDS_ON_EXTERNAL ----

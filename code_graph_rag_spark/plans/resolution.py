@@ -440,12 +440,17 @@ def resolve_calls(
     alias: DataFrame,
     closure: DataFrame | None = None,
     persist_registry: list | None = None,
+    recv_cls: DataFrame | None = None,
 ) -> DataFrame:
     """call/ref mentions → resolved target rows (one per variant of the
     winning natural QN).
 
     ``closure``: optional ancestor closure (cls, anc, depth, ord) enabling
     the super() rung and inherited self-method resolution.
+
+    ``recv_cls``: optionally a pre-materialized receiver-class map (the
+    pipeline overlaps its computation with the inherits/closure branch —
+    see ``pipeline._materialize_all``); None = compute + persist here.
 
     Output: mention_id, kind, doc_id, caller_qn, caller_label, priority,
     target_qn (natural), target_variant (qualified_name), target_label.
@@ -526,9 +531,12 @@ def resolve_calls(
     # call_processor.py:2815-2822): v = Circle(); v.m() → Circle.m.
     # The receiver-class map is small (distinct (module, expr) pairs);
     # AQE broadcasts the join at runtime.
-    recv_cls = resolve_receiver_classes(mentions, entities, alias).persist()
-    if persist_registry is not None:
-        persist_registry.append(recv_cls)
+    if recv_cls is None:
+        recv_cls = resolve_receiver_classes(
+            mentions, entities, alias
+        ).persist()
+        if persist_registry is not None:
+            persist_registry.append(recv_cls)
     typed = calls.filter(F.col("recv_expr").isNotNull()).withColumn(
         "method", F.element_at(F.split("callee", "\\."), -1)
     )
