@@ -278,21 +278,47 @@ def build_graph_from_mentions(
     (collision window over all module QNs).
     """
     wide = _materialize(disambiguate_modules(raw_mentions), "mentions")
-    # dual-width views of the mention store (see the sizing note above):
-    # the ladder reads `wide`, every light consumer reads `mentions`
-    n_rows = wide.count()
-    wide = _narrow(wide, n_rows, _WIDE_ROWS_PER_PARTITION, "mentions_wide")
-    mentions = _narrow(wide, n_rows, _JOIN_ROWS_PER_PARTITION, "mentions")
-    # deferred C++ out-of-class binding (no-op unless method_impl rows
-    # exist — the isEmpty probe is one cheap scan of the checkpointed
-    # frame); the rewritten frame fans out again, so re-materialize
     from code_graph_rag_spark.plans.cpp_impl import bind_method_impls
 
-    bound = bind_method_impls(mentions)
-    if bound is not mentions:
-        mentions = _materialize(bound, "mentions_cpp_bound")
-        wide = mentions
-    entities = _materialize(mint_entities(mentions), "entities")
+    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+        # the pre-overlap serial sequence, kept verbatim for A/B runs:
+        # count → narrow views → deferred-C++ isEmpty probe → entities
+        n_rows = wide.count()
+        wide = _narrow(wide, n_rows, _WIDE_ROWS_PER_PARTITION, "mentions_wide")
+        mentions = _narrow(wide, n_rows, _JOIN_ROWS_PER_PARTITION, "mentions")
+        bound = bind_method_impls(mentions)
+        if bound is not mentions:
+            mentions = _materialize(bound, "mentions_cpp_bound")
+            wide = mentions
+        entities = _materialize(mint_entities(mentions), "entities")
+    else:
+        # one action returns (row count, any-method_impl): the dual-width
+        # sizing count and the deferred-C++ probe share a scan instead of
+        # chaining two. Entities mint concurrently with it — speculative:
+        # mint_entities is partitioning-independent (window results keyed
+        # by stable sort keys), so minting from the pre-narrow view gives
+        # identical rows UNLESS a method_impl rewrite invalidates the
+        # mention store (C++ corpora only), in which case the re-mint
+        # below pays the old serial cost and the speculative frame is
+        # dropped (its checkpoint blocks are ContextCleaner-reclaimed).
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_ent = ex.submit(_materialize, mint_entities(wide), "entities")
+            stats = wide.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    (F.col("kind") == "method_impl").cast("int")
+                ).alias("has_impl"),
+            ).collect()[0]
+            entities = f_ent.result()
+        n_rows = stats["n"]
+        wide = _narrow(wide, n_rows, _WIDE_ROWS_PER_PARTITION, "mentions_wide")
+        mentions = _narrow(wide, n_rows, _JOIN_ROWS_PER_PARTITION, "mentions")
+        if stats["has_impl"]:
+            mentions = _materialize(
+                bind_method_impls(mentions), "mentions_cpp_bound"
+            )
+            wide = mentions
+            entities = _materialize(mint_entities(mentions), "entities")
     return assemble_graph(
         mentions, entities, groups=groups, mentions_wide=wide
     )
