@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "search_bm25_topk",
+    "text_repetition",
+    "dedup_cc_clusters",
 ]
 
 
@@ -155,14 +158,35 @@ def run_bench(
     n_docs = docs.count()
     n_triples = 0
 
+    last_g = None
+
     def kg_leg():
-        nonlocal n_triples
+        nonlocal n_triples, last_g
+        if last_g is not None:
+            last_g.unpersist()
         g = build_graph(docs)
         n_triples = g.edges.count()
-        g.unpersist()
+        last_g = g
 
     leg("kg_build", kg_leg)
     docs.unpersist()
+
+    # --- whole-graph analytics over the 2k-doc built graph (~93k triples):
+    # PageRank (3 power iterations), degree-oriented triangle counting,
+    # degree top-k — the metrics a graph warehouse computes post-build ---
+    if last_g is not None:
+        if include_queries:
+            from code_graph_rag_spark.plans.graph_algos import (
+                degree_top,
+                pagerank,
+                triangle_counts,
+            )
+
+            edges = last_g.edges
+            leg("kg_pagerank_2k", lambda: _noop_write(pagerank(edges, iters=3)))
+            leg("kg_triangles_2k", lambda: _noop_write(triangle_counts(edges)))
+            leg("kg_degree_topk_2k", lambda: _noop_write(degree_top(edges, 25)))
+        last_g.unpersist()
 
     # --- JS-tier throughput: same topology through the jslite kernel ---
     if include_queries:

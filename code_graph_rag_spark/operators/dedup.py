@@ -354,6 +354,54 @@ def simhash_near_dups(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_agree: float = 0.5,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH candidates → signature-agreement
+    gate → connected components → keep-one-representative verdict.
+
+    This is the full training-data near-dedup pipeline (the composition the
+    per-stage operators above exist for): candidate pairs come from
+    ``lsh_candidate_pairs`` (bucketed, band-capped — never O(N²)), pairs
+    below ``min_agree`` signature agreement are dropped, and the surviving
+    similarity graph is collapsed with the alternating large-star/small-star
+    connected-components algorithm (``linking.connected_components`` —
+    O(log² n) rounds independent of cluster diameter, min-aggregates only,
+    so hub docs get map-side combining). The cluster representative (keeper)
+    is the minimum doc_id — the deterministic "keep first" policy.
+
+    Returns one row per document that belongs to a ≥2-doc near-dup cluster:
+    (doc_id, cluster_rep, cluster_size, is_keeper), ordered by doc_id.
+    Untouched documents are implicitly keepers and are omitted (at corpus
+    scale the duplicate set is the small output; emitting the full corpus
+    again would dominate the sink).
+    """
+    from code_graph_rag_spark.linking import connected_components
+
+    pairs = lsh_candidate_pairs(documents, k, bands, n, max_bucket).filter(
+        F.col("sig_agree") >= min_agree
+    )
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    sizes = cc.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "canonical_id")
+        .select(
+            F.col("entity_id").alias("doc_id"),
+            F.col("canonical_id").alias("cluster_rep"),
+            "cluster_size",
+            (F.col("entity_id") == F.col("canonical_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_keep_first(documents: DataFrame) -> DataFrame:
     """The end-to-end exact-dedup operator: keep the lowest doc_id per
     normalized-content group (deterministic winner)."""

@@ -220,3 +220,116 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         .drop("_tail")
     )
     return big.unionByName(small).dropDuplicates(["doc_id", "shingle"])
+
+
+# PII patterns written to the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition and \b only — no
+# lookarounds, no backreferences — so both engines match identical spans.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-()]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4 addresses and
+    phone-like digit runs are replaced by typed placeholder tokens, in a
+    fixed pattern order (email → ip → phone, so an IP never re-matches as
+    a phone). Returns per-document match counts (over the ORIGINAL text)
+    plus the portable 60-bit hash of the scrubbed text — the value the
+    driver oracle verifies, so the full replacement output is checked
+    without shipping the text twice.
+
+    Pure whole-stage codegen: one ``regexp_count`` per pattern + a chain
+    of ``regexp_replace`` — a single map stage fused into the scan; at
+    100 TB this is scan-bandwidth-bound, exactly as a scrubber should be.
+    """
+    txt = F.col("text")
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = txt
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select(
+        "doc_id", *counts, hash60(scrubbed).alias("scrub_hash")
+    )
+
+
+def repetition_stats(documents: DataFrame, max_dup_frac: float = 0.6,
+                     max_top_frac: float = 0.12) -> DataFrame:
+    """Gopher/C4-style repetition signals: within-document n-gram
+    duplication fractions plus a keep/drop verdict.
+
+    Per document over normalized whitespace tokens:
+
+    * ``n_2grams``        — total (non-distinct) word bigrams;
+    * ``dup_2gram_frac``  — 1 − distinct/total bigrams (the "duplicate
+      n-gram fraction" rule of Rae et al., *Gopher*, §A1.1);
+    * ``top_2gram_frac``  — share of the single most frequent bigram;
+    * ``top_token_frac``  — share of the single most frequent token;
+    * ``keep``            — dup_2gram_frac ≤ ``max_dup_frac`` AND
+      top_2gram_frac ≤ ``max_top_frac``.
+
+    Plan shape (100 TB lens): posexplode tokens → per-doc ``lead`` window
+    (the corpus's natural doc_id partitioning — one shuffle) → one
+    groupBy(doc_id, gram) count + one groupBy(doc_id) rollup. Everything is
+    codegen expressions; no interpreted array HOFs, no Python. Documents
+    shorter than 2 tokens get zero-valued bigram stats (kept), via the
+    left join back to the corpus frame.
+    """
+    from pyspark.sql import Window
+
+    base = documents.select("doc_id", norm_tokens(F.col("text")).alias("toks"))
+    exploded = base.filter(F.size("toks") >= 2).select(
+        "doc_id", F.posexplode("toks").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        exploded.select(
+            "doc_id",
+            F.col("t"),
+            F.lead("t", 1).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "t2").alias("gram"))
+    )
+    gram_counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    g_agg = gram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.count("*").alias("n_distinct_2grams"),
+        F.max("c").alias("max_2gram_c"),
+    )
+    tok_counts = base.select(
+        "doc_id", F.explode("toks").alias("t")
+    ).groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    t_agg = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"), F.max("c").alias("max_tok_c")
+    )
+    out = (
+        documents.select("doc_id")
+        .join(g_agg, "doc_id", "left")
+        .join(t_agg, "doc_id", "left")
+    )
+    n2 = F.coalesce(F.col("n_2grams"), F.lit(0))
+    dup_frac = F.when(
+        n2 > 0,
+        1.0 - F.col("n_distinct_2grams").cast("double") / n2,
+    ).otherwise(F.lit(0.0))
+    top2 = F.when(
+        n2 > 0, F.col("max_2gram_c").cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    topt = F.when(
+        F.coalesce(F.col("n_toks"), F.lit(0)) > 0,
+        F.col("max_tok_c").cast("double") / F.col("n_toks"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        n2.alias("n_2grams"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top2, 6).alias("top_2gram_frac"),
+        F.round(topt, 6).alias("top_token_frac"),
+        ((dup_frac <= max_dup_frac) & (top2 <= max_top_frac)).alias("keep"),
+    )
