@@ -1604,6 +1604,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def sample_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel token-budget sequence packing (4096-token bins)."""
+    from code_graph_rag_spark.operators.sampling import pack_bins
+
+    return pack_bins(_t(spark, sf_dir, "documents"))
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style corpus gate (lang → quality → repetition → pii)."""
+    from code_graph_rag_spark.operators.text import corpus_filter as _cf
+
+    return _cf(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1693,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "sample_hash_split": sample_hash_split,
         "sample_stratified": sample_stratified,
+        "sample_pack_bins": sample_pack_bins,
+        "corpus_filter": corpus_filter,
         "kg_callers_of": kg_callers_of,
         "kg_resolution_stats": kg_resolution_stats,
         "kg_find_prefix": kg_find_prefix,
@@ -2384,6 +2400,33 @@ def _hash_split_sql(train_bp: int = 9000, val_bp: int = 500) -> str:
     """
 
 
+def _pack_bins_sql(budget: int = 4096, n_shards: int = 64) -> str:
+    """DuckDB twin of operators.sampling.pack_bins (same windows, same
+    integer-division-free bin arithmetic: / is float division both sides,
+    floored)."""
+    b = _bucket_sql("pack-v1")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, len({_TOKS})::INT AS n_tokens,
+                   ({b} % {n_shards}) AS shard
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens, shard,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM base
+        ), binned AS (
+            SELECT doc_id, n_tokens, shard,
+                   floor((cum - n_tokens) / {budget})::BIGINT AS bin_id
+            FROM c
+        )
+        SELECT doc_id, n_tokens, shard, bin_id,
+               row_number() OVER (PARTITION BY shard, bin_id
+                   ORDER BY doc_id)::INT AS bin_pos
+        FROM binned ORDER BY doc_id
+    """
+
+
 def _stratified_sql(fractions: dict[str, int], default_bp: int = 0) -> str:
     """DuckDB twin of operators.sampling.stratified_sample."""
     b = _bucket_sql("sample-v1")
@@ -2685,7 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         f"(({_HASH60.format(expr='s')} % {MOD}) * {a} + {b}) % {MOD}), 'min') AS m{i}"
         for i, (a, b) in enumerate(_PERMS)
     )
-    return {
+    d = {
         **_kg_oracles(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3018,3 +3061,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
+    # composed C4-style gate: the oracle NESTS the four certified
+    # constituent oracles as CTEs — a bug in any one breaks this hash too
+    d["corpus_filter"] = f"""
+        WITH q AS ({d["text_quality"]}),
+             l AS ({d["text_langid"]}),
+             r AS ({d["text_repetition"]}),
+             p AS ({d["text_pii_scrub"]})
+        SELECT doc_id, lang_pred, quality, n_pii, verdict,
+               (verdict = 'ok') AS keep
+        FROM (
+            SELECT q.doc_id, l.lang_pred, q.quality,
+                   (p.n_email + p.n_ip + p.n_phone)::INT AS n_pii,
+                   CASE WHEN l.lang_pred <> 'en' THEN 'lang'
+                        WHEN q.quality < 0.35 THEN 'quality'
+                        WHEN r.dup_2gram_frac > 0.6
+                             OR r.top_2gram_frac > 0.12 THEN 'repetition'
+                        WHEN p.n_email + p.n_ip + p.n_phone > 0 THEN 'pii'
+                        ELSE 'ok' END AS verdict
+            FROM q
+            JOIN l ON l.doc_id = q.doc_id
+            JOIN r ON r.doc_id = q.doc_id
+            JOIN p ON p.doc_id = q.doc_id
+        ) ORDER BY doc_id
+    """
+    d["sample_pack_bins"] = _pack_bins_sql()
+    return d

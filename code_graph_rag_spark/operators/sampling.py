@@ -82,3 +82,56 @@ def stratified_sample(
         else F.lit(default_bp)
     )
     return documents.filter(b < thresh)
+
+
+def pack_bins(
+    documents: DataFrame,
+    budget: int = 4096,
+    n_shards: int = 64,
+    key: str = "doc_id",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to ~``budget``-token bins
+    for pretraining batch assembly.
+
+    Documents are first hashed into ``n_shards`` independent shards (the
+    scale unit: a 100 TB corpus packs shard-parallel — there is no global
+    order, so no global sort and no single-partition window). Within a
+    shard, documents are taken in deterministic ``key`` order and packed
+    first-fit-in-order: a running token cumsum is computed with ONE window
+    over (shard, key), and the bin index is ``floor((cumsum − n_tokens) /
+    budget)`` — i.e. a document starts a new bin when the previous ones
+    have consumed the budget. Oversized documents (> budget tokens) occupy
+    bins alone-ish by construction (they advance the cumsum past the
+    budget). Returns (doc_id, n_tokens, shard, bin_id, bin_pos).
+
+    One shuffle (the shard/key sort window); everything else is codegen
+    arithmetic. The assignment is a pure function of (key, text) — stable
+    under re-partitioning and re-runs, the same hygiene argument as
+    ``hash_split``.
+    """
+    from pyspark.sql import Window
+
+    from code_graph_rag_spark.operators.text import n_tokens_col
+
+    shard = (_bucket(F.col(key), salt) % n_shards).alias("shard")
+    base = documents.select(
+        key, n_tokens_col(F.col("text")).alias("n_tokens"), shard
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("shard", "bin_id").orderBy(key)
+    return (
+        base.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).cast(
+                "long"
+            ),
+        )
+        .withColumn("bin_pos", F.row_number().over(wp).cast("int"))
+        .select(key, "n_tokens", "shard", "bin_id", "bin_pos")
+    )

@@ -258,6 +258,58 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(
+    documents: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.35,
+    max_dup_frac: float = 0.6,
+    max_top_frac: float = 0.12,
+) -> DataFrame:
+    """The composed C4/Gopher-style corpus gate: language-ID + quality
+    score + repetition filter + PII check folded into one keep/drop
+    verdict with the FIRST failing rule as the reason (rule order: lang →
+    quality → repetition → pii → ok).
+
+    Composition semantics: the verdict is computed over the four
+    operators' OUTPUT columns (i.e. the rounded, already-oracled values),
+    so the driver oracle can literally compose the four certified SQL
+    twins as subqueries — a bug in any constituent breaks this hash too.
+    Four scans of the corpus (one per constituent) keeps each constituent
+    independently testable; a production pipeline would fuse the three
+    scan-level projections (quality/langid/pii are single-stage maps)
+    into one pass and join only the shuffle-bearing repetition frame.
+    """
+    q = quality_score(documents).select("doc_id", "quality")
+    lid = language_id(documents).select("doc_id", "lang_pred")
+    rep = repetition_stats(documents).select(
+        "doc_id", "dup_2gram_frac", "top_2gram_frac"
+    )
+    pii = pii_scrub(documents).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
+    )
+    j = q.join(lid, "doc_id").join(rep, "doc_id").join(pii, "doc_id")
+    reason = (
+        F.when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(
+            (F.col("dup_2gram_frac") > max_dup_frac)
+            | (F.col("top_2gram_frac") > max_top_frac),
+            F.lit("repetition"),
+        )
+        .when(F.col("n_pii") > 0, F.lit("pii"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "n_pii",
+        reason.alias("verdict"),
+        (reason == "ok").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def repetition_stats(documents: DataFrame, max_dup_frac: float = 0.6,
                      max_top_frac: float = 0.12) -> DataFrame:
     """Gopher/C4-style repetition signals: within-document n-gram

@@ -65,6 +65,57 @@ def test_stratified_sample_matches_twin(docs_df):
     assert not any(langs[i % 4] in ("de", "fr") for i in got)
 
 
+def test_pack_bins_matches_twin(spark):
+    from code_graph_rag_spark.operators.sampling import pack_bins
+
+    rows = [(i, " ".join(["tok"] * (1 + i % 7))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pack_bins(df, budget=10, n_shards=4).collect()}
+    # pure-Python twin
+    shards: dict[int, list[int]] = {}
+    for i in range(60):
+        shards.setdefault(_bucket_twin(i, "pack-v1") % 4, []).append(i)
+    for shard, ids in shards.items():
+        cum = 0
+        pos: dict[int, int] = {}
+        for d in sorted(ids):
+            n = 1 + d % 7
+            bin_id = cum // 10
+            cum += n
+            pos[bin_id] = pos.get(bin_id, 0) + 1
+            r = got[d]
+            assert (r["shard"], r["n_tokens"]) == (shard, n), d
+            assert (r["bin_id"], r["bin_pos"]) == (bin_id, pos[bin_id]), d
+    # repartitioning must not change the packing
+    again = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["bin_pos"])
+        for r in pack_bins(df.repartition(5), budget=10, n_shards=4).collect()
+    }
+    assert again == {
+        d: (r["shard"], r["bin_id"], r["bin_pos"]) for d, r in got.items()
+    }
+
+
+def test_corpus_filter_verdicts(spark):
+    from code_graph_rag_spark.operators.text import corpus_filter
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog of the north is happy "
+            "to be here today"),                       # ok
+        (2, "le la et les des le la et"),              # lang (fr wins)
+        (3, "the .,!?;: .,!?;: .,!?;:"),               # quality (punct-heavy)
+        (4, "the " * 30),                              # repetition
+        (5, "the cat and the dog email bob@x.io is here to stay now fine"),  # pii
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in corpus_filter(df).collect()}
+    assert got[1]["verdict"] == "ok" and got[1]["keep"]
+    assert got[2]["verdict"] == "lang" and not got[2]["keep"]
+    assert got[3]["verdict"] == "quality"
+    assert got[4]["verdict"] == "repetition"
+    assert got[5]["verdict"] == "pii" and got[5]["n_pii"] == 1
+
+
 def test_pii_scrub(spark):
     rows = [
         (1, "contact me at jane.doe+x@example.org or bob@test.co thanks"),
