@@ -1297,6 +1297,24 @@ def kg_cypher_parent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_cypher_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/min/max/avg aggregates, including aggregate-of-aggregate through
+    a WITH stage (the 'module fan-out statistics' query shape an NL→Cypher
+    layer produces for questions like 'how many functions per module?')."""
+    g = _synth_graph(spark)
+    from code_graph_rag_spark.cypher import run_cypher
+
+    return run_cypher(
+        g.nodes,
+        g.edges,
+        "MATCH (m:Module)-[:DEFINES]->(f:Function) "
+        "WITH m, count(f) AS n_funcs "
+        "RETURN min(n_funcs) AS min_f, max(n_funcs) AS max_f, "
+        "sum(n_funcs) AS total_f, avg(n_funcs) AS avg_f, "
+        "count(*) AS n_modules",
+    )
+
+
 def kg_cypher_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNWIND labels(n) + toLower (CYPHER_AUDIT_LABELS,
     cypher_queries.py:11): the distinct label vocabulary, lowercased."""
@@ -1646,7 +1664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonicalize": kg_canonicalize,
         "kg_semantic_search": kg_semantic_search,
         "kg_io_flow": kg_io_flow,
-        "kg_exposes": kg_exposes,
         "kg_arg_flow": kg_arg_flow,
         "kg_taint_paths": kg_taint_paths,
         "kg_resolves": kg_resolves,
@@ -1677,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_optional_imports": kg_cypher_optional_imports,
         "kg_cypher_parent_dist": kg_cypher_parent_dist,
         "kg_cypher_labels": kg_cypher_labels,
+        "kg_cypher_fanout": kg_cypher_fanout,
         # persistence / sync surface (SURVEY §2.1/2.11)
         "kg_incremental": kg_incremental,
         "kg_watch_stream": kg_watch_stream,
@@ -1704,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 operators above into the window) ----
         # newest past-cap entries first, so a driver with a larger window
         # certifies them before re-certifying veterans
+        "kg_exposes": kg_exposes,
         "text_pii_scrub": text_pii_scrub,
         "sample_hash_split": sample_hash_split,
         "sample_stratified": sample_stratified,
@@ -2007,6 +2026,18 @@ def _kg_oracles() -> dict[str, str]:
             SELECT DISTINCT subj_label AS src, pred AS rel,
                             obj_label AS dst
             FROM {edges_pq} ORDER BY src, rel, dst
+        """,
+        "kg_cypher_fanout": f"""
+            WITH per_m AS (
+                SELECT subj, count(*) AS n_funcs FROM {edges_pq}
+                WHERE pred = 'DEFINES' AND subj_label = 'Module'
+                  AND obj_label = 'Function'
+                GROUP BY subj
+            )
+            SELECT min(n_funcs)::BIGINT AS min_f, max(n_funcs)::BIGINT AS max_f,
+                   sum(n_funcs)::BIGINT AS total_f, avg(n_funcs) AS avg_f,
+                   count(*)::BIGINT AS n_modules
+            FROM per_m
         """,
         "kg_cypher_defines": f"""
             SELECT subj AS module, count(*) AS n_funcs FROM {edges_pq}

@@ -35,7 +35,9 @@ Supported subset (everything the reference's read queries use):
   since the store is one row per label).
 - ``RETURN [DISTINCT]`` items: ``x.prop``, ``x`` (the node key),
   ``labels(x)[0]``, ``type(r)``, ``toLower(expr)``, literals, ``count(*)``,
-  ``count([DISTINCT] expr)``; Cypher aggregation semantics (non-aggregate
+  ``count([DISTINCT] expr)``, ``sum/min/max/avg(expr)`` (also in WITH
+  stages, so fan-out-of-an-aggregate pipelines like ``WITH m, count(f) AS
+  n RETURN max(n)`` compile); Cypher aggregation semantics (non-aggregate
   items are the group keys).
 - ``ORDER BY alias [ASC|DESC], ...`` and ``LIMIT n``.
 
@@ -71,7 +73,7 @@ _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY", "LIMIT",
     "AND", "OR", "NOT", "IS", "NULL", "STARTS", "WITH", "CONTAINS", "IN",
     "DESC", "ASC", "COUNT", "LABELS", "TYPE", "OPTIONAL", "UNWIND",
-    "TOLOWER",
+    "TOLOWER", "SUM", "MIN", "MAX", "AVG",
 }
 
 
@@ -450,6 +452,16 @@ class _Parser:
                 inner = self._value_expr()
             self.take("sym", ")")
             return ("count", dist, inner)
+        if t[0] == "kw" and t[1] in ("SUM", "MIN", "MAX", "AVG"):
+            self.take()
+            self.take("sym", "(")
+            dist = False
+            if self.at("kw", "DISTINCT"):
+                self.take()
+                dist = True
+            inner = self._value_expr()
+            self.take("sym", ")")
+            return ("agg", t[1].lower(), dist, inner)
         if t == ("kw", "LABELS"):
             self.take()
             self.take("sym", "(")
@@ -519,9 +531,33 @@ def _default_alias(expr: tuple) -> str:
         return "rel"
     if kind == "count":
         return "n"
+    if kind == "agg":
+        return expr[1]
     if kind == "lower":
         return _default_alias(expr[1])
     return "expr"
+
+
+def _agg_col(e: tuple, fro: frozenset) -> F.Column:
+    """Compile an aggregate RETURN/WITH item: count(*) / count([DISTINCT] x)
+    / sum/min/max/avg([DISTINCT] x). DISTINCT on min/max is a no-op by
+    definition; sum DISTINCT maps to sum_distinct; avg DISTINCT has no
+    built-in and is rejected rather than silently mis-computed."""
+    if e[0] == "count":
+        _, dist, inner = e
+        if inner is None:
+            return F.count(F.lit(1))
+        if dist:
+            return F.countDistinct(_compile_value(inner, fro))
+        return F.count(_compile_value(inner, fro))
+    _, fn, dist, inner = e
+    col = _compile_value(inner, fro)
+    if dist:
+        if fn == "sum":
+            return F.sum_distinct(col)
+        if fn == "avg":
+            raise CypherError("avg(DISTINCT ...) is not supported")
+    return {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[fn](col)
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +681,7 @@ def _apply_with(
     scalars: list[tuple[tuple, str]] = []
     aggs: list[tuple[tuple, str]] = []
     for e, a in stage.items:
-        if e[0] == "count":
+        if e[0] in ("count", "agg"):
             aggs.append((e, a))
         elif e[0] == "var" and e[1] not in fro and e[1] in node_vars:
             passthrough.append(e[1])
@@ -659,17 +695,7 @@ def _apply_with(
     ]
     scalar_cols = [_compile_value(e, fro).alias(a) for e, a in scalars]
     if aggs:
-        agg_cols = []
-        for e, a in aggs:
-            _, dist, inner = e
-            if inner is None:
-                agg_cols.append(F.count(F.lit(1)).alias(a))
-            elif dist:
-                agg_cols.append(
-                    F.countDistinct(_compile_value(inner, fro)).alias(a)
-                )
-            else:
-                agg_cols.append(F.count(_compile_value(inner, fro)).alias(a))
+        agg_cols = [_agg_col(e, fro).alias(a) for e, a in aggs]
         gb = [F.col(c) for c in key_cols] + scalar_cols
         df = df.groupBy(*gb).agg(*agg_cols) if gb else df.agg(*agg_cols)
     else:
@@ -885,21 +911,11 @@ def run_cypher(
         df, aliases, node_vars = _apply_with(df, stage, aliases, node_vars)
 
     fro = frozenset(aliases)
-    aggs = [(e, a) for e, a in q.items if e[0] == "count"]
-    keys = [(e, a) for e, a in q.items if e[0] != "count"]
+    aggs = [(e, a) for e, a in q.items if e[0] in ("count", "agg")]
+    keys = [(e, a) for e, a in q.items if e[0] not in ("count", "agg")]
     if aggs:
         key_cols = [_compile_value(e, fro).alias(a) for e, a in keys]
-        agg_cols = []
-        for e, a in aggs:
-            _, dist, inner = e
-            if inner is None:
-                agg_cols.append(F.count(F.lit(1)).alias(a))
-            elif dist:
-                agg_cols.append(
-                    F.countDistinct(_compile_value(inner, fro)).alias(a)
-                )
-            else:
-                agg_cols.append(F.count(_compile_value(inner, fro)).alias(a))
+        agg_cols = [_agg_col(e, fro).alias(a) for e, a in aggs]
         df = (
             df.groupBy(*key_cols).agg(*agg_cols)
             if key_cols

@@ -334,3 +334,55 @@ def test_optional_must_anchor_on_bound_var(graph):
             "MATCH (m:Module) OPTIONAL MATCH (x:Class)-[:INHERITS]->(y) "
             "RETURN m.name AS mod",
         )
+
+
+def test_numeric_aggregates_in_return(graph):
+    nodes, edges = graph
+    out = _rows(
+        run_cypher(
+            nodes,
+            edges,
+            "MATCH (m:Module)-[:DEFINES]->(x) "
+            "RETURN min(m.qualified_name) AS lo, max(m.qualified_name) AS hi, "
+            "count(*) AS n",
+        )
+    )
+    assert out == [("app.main", "app.util", 5)]
+
+
+def test_sum_min_max_avg_over_with_stage(graph):
+    # aggregate-of-aggregate: per-module fan-out, then corpus stats
+    nodes, edges = graph
+    out = _rows(
+        run_cypher(
+            nodes,
+            edges,
+            "MATCH (m:Module)-[:DEFINES]->(x) WITH m, count(x) AS n "
+            "RETURN min(n) AS mn, max(n) AS mx, sum(n) AS total, "
+            "avg(n) AS mean, count(*) AS mods",
+        )
+    )
+    # app.main defines 2, app.util defines 3
+    assert out == [(2, 3, 5, 2.5, 2)]
+
+
+def test_sum_distinct_and_line_numbers(graph):
+    nodes, edges = graph
+    out = _rows(
+        run_cypher(
+            nodes,
+            edges,
+            "MATCH (c:Class) RETURN sum(DISTINCT c.start_line) AS s, "
+            "max(c.end_line) AS e",
+        )
+    )
+    # class start lines: 3, 2, 12 (distinct) → 17; max end 20
+    assert out == [(17, 20)]
+
+
+def test_avg_distinct_rejected(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        run_cypher(
+            nodes, edges, "MATCH (c:Class) RETURN avg(DISTINCT c.start_line) AS a"
+        )
