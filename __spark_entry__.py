@@ -1636,6 +1636,17 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cf(_t(spark, sf_dir, "documents"))
 
 
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV sketch: approx distinct users per event type.
+    The ESTIMATE itself is the oracle-verified value (the md5 sketch
+    replays bit-for-bit in DuckDB), not just an exact twin."""
+    from code_graph_rag_spark.operators.sketches import approx_distinct_kmv
+
+    return approx_distinct_kmv(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1728,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_pack_bins": sample_pack_bins,
         "corpus_filter": corpus_filter,
+        "events_approx_users": events_approx_users,
         "kg_callers_of": kg_callers_of,
         "kg_resolution_stats": kg_resolution_stats,
         "kg_find_prefix": kg_find_prefix,
@@ -2471,6 +2483,34 @@ def _stratified_sql(fractions: dict[str, int], default_bp: int = 0) -> str:
     """
 
 
+def _kmv_sql(k: int = 64) -> str:
+    """DuckDB twin of operators.sketches.approx_distinct_kmv over
+    events(event_type, user_id) — replays the k-register minimum-value
+    sketch exactly (same hash, same normalization, same fixed-order
+    register fold)."""
+    h = _HASH60.format(expr="user_id::VARCHAR")
+    mins = ",\n                   ".join(
+        f"min(CASE WHEN b = {i} THEN u END) AS m{i}" for i in range(k)
+    )
+    reg_sum = "0.0" + "".join(f" + coalesce(m{i}, 1.0)" for i in range(k))
+    fold = f"{float(k * k)!r} / ({reg_sum}) - {float(k)!r}"
+    return f"""
+        WITH ub AS (
+            SELECT event_type AS grp,
+                   {h} / 1152921504606846976.0 AS u,
+                   {h} % {k} AS b
+            FROM events
+        ), agg AS (
+            SELECT grp, count(*) AS n_rows,
+                   {mins}
+            FROM ub GROUP BY grp
+        )
+        SELECT grp AS event_type, round({fold}, 4) AS approx_distinct,
+               n_rows
+        FROM agg ORDER BY event_type
+    """
+
+
 def _pagerank_sql(edges_pq: str, iters: int = 3, d: float = 0.85) -> str:
     """Unrolled power-iteration twin of plans.graph_algos.pagerank over the
     analytic-twin edge parquet. Same recurrence, same literal constants
@@ -3064,6 +3104,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_sql(),
         "sample_hash_split": _hash_split_sql(),
         "sample_stratified": _stratified_sql(_STRATA_BP),
+        "events_approx_users": _kmv_sql(k=64),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "emb_near_dups": _emb_near_dups_sql(),

@@ -109,6 +109,12 @@ def pack_bins(
     arithmetic. The assignment is a pure function of (key, text) — stable
     under re-partitioning and re-runs, the same hygiene argument as
     ``hash_split``.
+
+    Sizing at scale: each shard is one window partition, i.e. one
+    executor-side sort — pick ``n_shards`` so corpus_bytes / n_shards fits
+    an executor's sort buffer (at 100 TB that is O(10⁴–10⁵) shards, not
+    the test-scale default of 64). More shards never change bin contents
+    WITHIN a shard, only how many independent packing streams exist.
     """
     from pyspark.sql import Window
 
