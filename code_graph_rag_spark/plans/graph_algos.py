@@ -39,7 +39,7 @@ and compounds across power iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,6 +129,76 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("pagerank")).orderBy(
         "node"
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected simple graph induced by the triple frame.
+
+    label₀(v) = v; labelᵢ(v) = the most frequent labelᵢ₋₁ among v's
+    neighbours, ties broken by lexicographically smallest label (the
+    deterministic variant of Raghavan et al. 2007's LPA — synchronous
+    updates + total tie order make the result a pure function of the edge
+    set, so the DuckDB oracle can re-derive it independently). Nodes with
+    no neighbours in the simple graph (self-loop-only nodes) keep their own
+    label. Returns (node, label) for every node, ordered by node.
+
+    Scale notes: per iteration — one equi-join (undirected links ⋈ labels
+    on the neighbour key), one ``groupBy(node, label)`` count with map-side
+    partial combine, and one per-node ``row_number`` window whose partition
+    size is bounded by the node's *distinct neighbour-label count* (≤
+    degree, shrinking every round as communities merge). No iteration ever
+    materializes more than O(m) rows; each round is lineage-cut so the plan
+    stays flat across iterations.
+    """
+    und = (
+        _simple_links(edges)
+        .select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr")
+        )
+        .unionByName(
+            _simple_links(edges).select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select("node")
+        .unionByName(
+            edges.filter(F.col("subj") == F.col("obj")).select(
+                F.col("subj").alias("node")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    win = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+    for _ in range(iters):
+        nbr_labels = und.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+            ),
+            "nbr",
+        ).select("node", F.col("nlabel").alias("label"))
+        winners = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
