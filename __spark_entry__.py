@@ -1647,6 +1647,26 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equi-width-histogram quantiles (p50/p90/p99 of event
+    value per event type, 1000 bins on [0, 10)). Unlike approx_percentile
+    (merge-order-dependent GK sketch), the histogram estimate is a pure
+    function of the value multiset, so the DuckDB oracle re-derives the
+    SAME estimate from the same rank rule — the estimate itself is
+    certified, not a twin of convenience."""
+    from code_graph_rag_spark.operators.quantiles import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        lo=0.0,
+        hi=10.0,
+        n_bins=1000,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
 def kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration synchronous label propagation (deterministic LPA:
     most-frequent neighbour label, lexicographic tie-break) over the
@@ -1727,7 +1747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (north rule) — synthesized input
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
-        "kg_adjacency": kg_adjacency,
         "kg_stats": kg_stats,
         # graph analytics (new in r5 — whole-graph metrics, dual-impl oracles)
         "kg_degree_topk": kg_degree_topk,
@@ -1785,16 +1804,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ASOF JOIN / inequality-join duals)
         "events_asof_signup": events_asof_signup,
         "events_range_follow": events_range_follow,
+        # deterministic histogram quantiles (new in r5)
+        "events_value_quantiles": events_value_quantiles,
         # ---- position 50 boundary (entries below are green veterans,
         # driver-certified in CORRECTNESS_r02/r03/r04 and UNCHANGED since
         # their last certification; rotated out this round to admit every
-        # never-certified query above: kg_dead_code, kg_canonicalize,
-        # kg_semantic_search, kg_io_flow, kg_arg_flow, kg_taint_paths,
-        # kg_resolves, kg_findings, kg_rpc, kg_contracts, kg_exposes,
-        # kg_callers_of, kg_find_prefix, kg_code_snippet,
+        # never-certified query above: kg_adjacency (a pure projection of
+        # the same edge frame kg_triples certifies), kg_dead_code,
+        # kg_canonicalize, kg_semantic_search, kg_io_flow, kg_arg_flow,
+        # kg_taint_paths, kg_resolves, kg_findings, kg_rpc, kg_contracts,
+        # kg_exposes, kg_callers_of, kg_find_prefix, kg_code_snippet,
         # kg_resolution_stats, dedup_lsh_candidates, ann_ivf_topk) ----
         # newest past-cap entries first, so a driver with a larger window
         # certifies them before re-certifying veterans
+        "kg_adjacency": kg_adjacency,
         "kg_dead_code": kg_dead_code,
         "kg_canonicalize": kg_canonicalize,
         "kg_semantic_search": kg_semantic_search,
@@ -3244,6 +3267,29 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts <= e.ts + INTERVAL 300 SECONDS
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id
+        """,
+        # deterministic histogram quantiles: the ESTIMATE replays exactly
+        # (same bin width double, same ceil-rank rule) — w = 10/1000 = 0.01
+        "events_value_quantiles": """
+            WITH h AS (
+                SELECT event_type AS grp,
+                       least(greatest(floor((value - 0.0) / 0.01), 0),
+                             999)::BIGINT AS bin,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), c AS (
+                SELECT grp, bin,
+                       sum(cnt) OVER (PARTITION BY grp ORDER BY bin)
+                           ::BIGINT AS cum,
+                       sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n_rows
+                FROM h
+            ), q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT grp AS event_type, q,
+                   round(0.0 + min(bin) * 0.01, 6) AS estimate, n_rows
+            FROM c CROSS JOIN q
+            WHERE cum >= ceil(q * n_rows)
+            GROUP BY grp, q, n_rows
+            ORDER BY event_type, q
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "search_bm25_topk",
     "text_repetition",
     "dedup_cc_clusters",
+    "events_asof_signup",
+    "events_range_follow",
+    "events_value_quantiles",
 ]
 
 
@@ -178,6 +181,7 @@ def run_bench(
         if include_queries:
             from code_graph_rag_spark.plans.graph_algos import (
                 degree_top,
+                label_propagation,
                 pagerank,
                 triangle_counts,
             )
@@ -186,6 +190,10 @@ def run_bench(
             leg("kg_pagerank_2k", lambda: _noop_write(pagerank(edges, iters=3)))
             leg("kg_triangles_2k", lambda: _noop_write(triangle_counts(edges)))
             leg("kg_degree_topk_2k", lambda: _noop_write(degree_top(edges, 25)))
+            leg(
+                "kg_label_prop_2k",
+                lambda: _noop_write(label_propagation(edges, iters=3)),
+            )
         last_g.unpersist()
 
     # --- JS-tier throughput: same topology through the jslite kernel ---

@@ -32,7 +32,11 @@ _CODEISH = st.text(
 )
 _ANY_TEXT = st.one_of(_CODEISH, st.text(max_size=200))
 
-_REQUIRED = {"kind", "qn", "name", "start_line", "end_line", "start_col"}
+# the mention IR has two row shapes: definition-ish rows carry a qualified
+# name and a full span; call/ref rows carry the callee and a point span
+# (the join phase attaches the rest) — see extract/mentions.py
+_REQUIRED_DEF = {"kind", "qn", "name", "start_line", "end_line", "start_col"}
+_REQUIRED_CALL = {"kind", "callee", "start_line", "start_col"}
 
 
 @settings(max_examples=60, deadline=None)
@@ -42,11 +46,17 @@ def test_kernels_total_and_well_formed(ext, text):
     assert isinstance(rows, list)
     n_lines = max(1, text.count("\n") + 1)
     for r in rows:
-        assert _REQUIRED <= set(r), r
         assert isinstance(r["kind"], str) and r["kind"]
+        required = (
+            _REQUIRED_CALL if r["kind"] in ("call", "ref") else _REQUIRED_DEF
+        )
+        assert required <= set(r), r
         # spans stay inside the document and are ordered
-        if r["start_line"] is not None and r["end_line"] is not None:
-            assert 1 <= r["start_line"] <= r["end_line"] <= n_lines + 1, r
+        sl, el = r.get("start_line"), r.get("end_line")
+        if sl is not None:
+            assert 1 <= sl <= n_lines + 1, r
+        if sl is not None and el is not None:
+            assert sl <= el <= n_lines + 1, r
 
 
 @settings(max_examples=60, deadline=None)
