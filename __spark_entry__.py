@@ -1647,6 +1647,98 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic fixture corpus for the declarative pattern tier — shared
+# verbatim by the Spark query and the DuckDB oracle (the RULE APPLICATION
+# — explode, first-match-wins, edge minting, distinct — is implemented
+# independently on each side; only the input corpus and the compiled
+# pattern regexes are shared, as with every fixture oracle in this file)
+_PATTERN_CORPUS = [
+    (
+        "geo.scala",
+        "package demo\nimport scala.collection.mutable\n"
+        "case class Point(x: Int, y: Int)\nobject Geometry {\n"
+        "  def area(p: Point): Int = p.x * p.y\n}\ntrait Shape\n",
+    ),
+    (
+        "svc.scala",
+        "import demo.Geometry\nclass Service {\n  def run(): Int = 1\n"
+        "  def area(): Int = 2\n}\n",
+    ),
+    ("empty.sc", "// nothing to claim\nval x = 1\n"),
+]
+
+
+def kg_pattern_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative pattern-driven language tier (reference
+    parsers/ast_grep_tier.py + ast_grep_patterns/ — config-file language
+    support): the Scala demo config applied to a fixture corpus, returning
+    the minted DEFINES/IMPORTS triples. The Spark side is one codegen
+    CASE-chain projection; the oracle re-implements first-match-wins rule
+    application in SQL."""
+    from code_graph_rag_spark.extract.patterns import (
+        SCALA_CONFIG,
+        pattern_edges,
+    )
+
+    docs = spark.createDataFrame(_PATTERN_CORPUS, ["doc_id", "text"])
+    return pattern_edges(docs, SCALA_CONFIG).orderBy("subj", "pred", "obj")
+
+
+def _pattern_tier_sql() -> str:
+    """DuckDB twin of kg_pattern_tier: same corpus + compiled regexes, an
+    independent SQL implementation of explode → first-match-wins → edge
+    minting → distinct."""
+    from code_graph_rag_spark.extract.patterns import (
+        SCALA_CONFIG,
+        compile_config,
+    )
+
+    rules = compile_config(SCALA_CONFIG)
+    corpus_vals = ",\n            ".join(
+        "('{}', '{}')".format(d, t.replace("'", "''"))
+        for d, t in _PATTERN_CORPUS
+    )
+
+    def esc(rx: str) -> str:
+        # standard SQL strings pass backslashes through untouched — only
+        # single quotes need doubling (the regexes contain none today)
+        return rx.replace("'", "''")
+
+    kind_case = " ".join(
+        f"WHEN regexp_matches(line, '{esc(rx)}') THEN '{k}'"
+        for k, rx in rules
+    )
+    name_case = " ".join(
+        f"WHEN regexp_matches(line, '{esc(rx)}') "
+        f"THEN regexp_extract(line, '{esc(rx)}', 1)"
+        for k, rx in rules
+    )
+    return f"""
+        WITH corpus(doc_id, text) AS (VALUES
+            {corpus_vals}
+        ), lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM corpus
+        ), claimed AS (
+            SELECT doc_id,
+                   CASE {kind_case} END AS kind,
+                   CASE {name_case} END AS name
+            FROM lines
+        )
+        SELECT DISTINCT doc_id AS subj,
+               CASE WHEN kind = 'import' THEN 'IMPORTS'
+                    ELSE 'DEFINES' END AS pred,
+               CASE WHEN kind = 'import' THEN name
+                    ELSE doc_id || '.' || name END AS obj,
+               'Module' AS subj_label,
+               CASE WHEN kind = 'import' THEN 'ExternalModule'
+                    WHEN kind = 'class' THEN 'Class'
+                    ELSE 'Function' END AS obj_label
+        FROM claimed WHERE kind IS NOT NULL
+        ORDER BY subj, pred, obj
+    """
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic equi-width-histogram quantiles (p50/p90/p99 of event
     value per event type, 1000 bins on [0, 10)). Unlike approx_percentile
@@ -1760,8 +1852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lua_build": kg_lua_build,
         "kg_cs_build": kg_cs_build,
         "kg_cpp_build": kg_cpp_build,
-        "kg_dart_build": kg_dart_build,
         "kg_ruby_build": kg_ruby_build,
+        # declarative pattern tier (new in r5 — ref ast_grep_tier.py)
+        "kg_pattern_tier": kg_pattern_tier,
         "kg_dispatch": kg_dispatch,
         "kg_stdlib": kg_stdlib,
         "kg_stdlib_nodes": kg_stdlib_nodes,
@@ -1810,7 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-certified in CORRECTNESS_r02/r03/r04 and UNCHANGED since
         # their last certification; rotated out this round to admit every
         # never-certified query above: kg_adjacency (a pure projection of
-        # the same edge frame kg_triples certifies), kg_dead_code,
+        # the same edge frame kg_triples certifies), kg_dart_build (r4-
+        # certified, dartlite unchanged in r5), kg_dead_code,
         # kg_canonicalize, kg_semantic_search, kg_io_flow, kg_arg_flow,
         # kg_taint_paths, kg_resolves, kg_findings, kg_rpc, kg_contracts,
         # kg_exposes, kg_callers_of, kg_find_prefix, kg_code_snippet,
@@ -1818,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest past-cap entries first, so a driver with a larger window
         # certifies them before re-certifying veterans
         "kg_adjacency": kg_adjacency,
+        "kg_dart_build": kg_dart_build,
         "kg_dead_code": kg_dead_code,
         "kg_canonicalize": kg_canonicalize,
         "kg_semantic_search": kg_semantic_search,
@@ -3237,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_split": _hash_split_sql(),
         "sample_stratified": _stratified_sql(_STRATA_BP),
         "events_approx_users": _kmv_sql(k=64),
+        "kg_pattern_tier": _pattern_tier_sql(),
         # temporal joins: DuckDB-NATIVE ASOF LEFT JOIN / plain inequality
         # LEFT JOIN — independent implementations of the same semantics
         "events_asof_signup": """
