@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_sigs",
     "dedup_lsh_candidates",
+    "dedup_decontam",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
