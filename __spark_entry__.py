@@ -992,6 +992,19 @@ def dedup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(tr, ev, n=8).orderBy("doc_id")
 
 
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the deterministic 'new batch'
+    (doc_id % 5 == 0) MinHash-LSH-deduped against the existing corpus
+    (the rest). Neither side self-joins or broadcasts; the combined
+    (band, band_hash) bucket cap mirrors the oracle exactly."""
+    from code_graph_rag_spark.operators.dedup import cross_corpus_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return cross_corpus_dups(new, corpus)
+
+
 def _stream_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1):
     """Copy the events parquet into a scratch dir a file stream can own
     (sentinel drops append files; the testdata dir is read-only)."""
@@ -1888,6 +1901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         # benchmark decontamination (new in r5 — broadcast eval n-grams)
         "dedup_decontam": dedup_decontam,
+        # cross-corpus incremental-ingest dedup (new in r5)
+        "dedup_cross_corpus": dedup_cross_corpus,
         # Structured Streaming operators (watermark windows, session
         # windows, streaming dedup, custom stateful op)
         "events_stream_hourly": events_stream_hourly,
@@ -1922,12 +1937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_taint_paths, kg_resolves, kg_findings, kg_rpc, kg_contracts,
         # kg_exposes, kg_callers_of, kg_find_prefix, kg_code_snippet,
         # kg_resolution_stats, dedup_lsh_candidates, ann_ivf_topk) ----
-        # kg_cs_build takes the final in-window slot (position 50): it
-        # was moved from the language-build block to admit dedup_decontam
-        # while still re-certifying cslite + the shared join machinery
-        "kg_cs_build": kg_cs_build,
         # newest past-cap entries first, so a driver with a larger window
         # certifies them before re-certifying veterans
+        # (kg_cs_build rotated past the cap to admit dedup_cross_corpus:
+        # certified green in r4 and the cslite kernel is unchanged since)
+        "kg_cs_build": kg_cs_build,
         "kg_adjacency": kg_adjacency,
         "kg_dart_build": kg_dart_build,
         "kg_dead_code": kg_dead_code,
@@ -3322,6 +3336,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             HAVING count(DISTINCT shingle) >= 1
             ORDER BY doc_id
+        """,
+        # cross-corpus dedup: the new batch is doc_id % 5 == 0, the corpus
+        # the rest; because every doc is in exactly one side, the engine's
+        # combined (band, band_hash) cap over new ∪ corpus equals the
+        # whole-corpus bucket count — so the shared banded0/small CTEs of
+        # the self-join oracle replay it exactly, with the side split
+        # applied at pair formation
+        "dedup_cross_corpus": f"""
+            WITH {_lsh_pairs_cte(1024)},
+            xpairs AS (
+                SELECT DISTINCT l.doc_id AS doc_id,
+                       r.doc_id AS corpus_doc_id
+                FROM banded l
+                JOIN banded r ON l.band = r.band
+                           AND l.band_hash = r.band_hash
+                WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+            ), xcand AS (
+                SELECT p.doc_id, p.corpus_doc_id,
+                       round(len(list_filter(list_zip(sa.sig, sb.sig),
+                                             z -> z[1] = z[2])) / 16.0, 6)
+                           AS sig_agree
+                FROM xpairs p
+                JOIN sigs sa ON sa.doc_id = p.doc_id
+                JOIN sigs sb ON sb.doc_id = p.corpus_doc_id
+            ), xhits AS (
+                SELECT * FROM xcand WHERE sig_agree >= 0.5
+            ), ranked AS (
+                SELECT doc_id, corpus_doc_id, sig_agree,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY sig_agree DESC, corpus_doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY doc_id) AS n_matches
+                FROM xhits
+            )
+            SELECT doc_id, corpus_doc_id, sig_agree, n_matches
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "events_stream_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_sigs",
     "dedup_lsh_candidates",
     "dedup_decontam",
+    "dedup_cross_corpus",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -402,6 +402,102 @@ def near_dup_clusters(
     )
 
 
+def cross_corpus_dups(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_agree: float = 0.5,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag documents in a NEW batch that
+    near-duplicate an EXISTING corpus (the FineWeb/Dolma cross-dump shape —
+    every production training pipeline dedups each new crawl against what
+    it already has, not just within itself).
+
+    Same MinHash-LSH recipe as ``lsh_candidate_pairs`` but the candidate
+    join is new-side bands against corpus-side bands — an equi-join on
+    (band, band_hash) between two frames, so NEITHER side is ever
+    self-joined and neither needs to broadcast (at 100 TB both sides are
+    huge; each shuffles exactly once on the band key, and the signature
+    frames carry k longs per doc, never text). ``max_bucket`` caps the
+    COMBINED (band, band_hash) bucket across both sides: the cross-bucket
+    blow-up is |new bucket| x |corpus bucket|, and bounding the sum bounds
+    the product; capped docs still pair through their other, more
+    selective bands, exactly as in the self-join variant.
+
+    Returns one row per contaminated new document: (doc_id,
+    corpus_doc_id = best match by agreement then lowest id, sig_agree,
+    n_matches = corpus docs at or above ``min_agree``), ordered by doc_id.
+    """
+    sig_new = minhash_signatures(new_docs, k, n).persist()
+    sig_corp = minhash_signatures(corpus, k, n).persist()
+    r = k // bands
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        hash60(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)],
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    bn = _banded(sig_new)
+    bc = _banded(sig_corp)
+    if max_bucket is not None:
+        small = (
+            bn.select("band", "band_hash")
+            .unionAll(bc.select("band", "band_hash"))
+            .groupBy("band", "band_hash")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        bn = bn.join(small, ["band", "band_hash"], "left_semi")
+        bc = bc.join(small, ["band", "band_hash"], "left_semi")
+    left = bn.select("doc_id", F.col("sig").alias("sig_a"), "band", "band_hash")
+    right = bc.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = left.join(right, ["band", "band_hash"]).dropDuplicates(
+        ["doc_id", "corpus_doc_id"]
+    )
+    matches = sum(
+        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(k)
+    )
+    hits = pairs.select(
+        "doc_id",
+        "corpus_doc_id",
+        F.round(matches.cast("double") / F.lit(float(k)), 6).alias("sig_agree"),
+    ).filter(F.col("sig_agree") >= min_agree)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sig_agree").desc(), F.col("corpus_doc_id")
+    )
+    wc = Window.partitionBy("doc_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_matches", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "corpus_doc_id", "sig_agree", "n_matches")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_keep_first(documents: DataFrame) -> DataFrame:
     """The end-to-end exact-dedup operator: keep the lowest doc_id per
     normalized-content group (deterministic winner)."""
