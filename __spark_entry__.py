@@ -1385,8 +1385,12 @@ def _pin(df: DataFrame) -> DataFrame:
     lineage: collect and rebuild locally, so deleting the temp store/export
     dir can never race a harness-side recomputation. Only used on final
     result frames whose size is bounded by the fixture corpus, never on
-    corpus-scaling data."""
-    return df.sparkSession.createDataFrame(df.toPandas(), schema=df.schema)
+    corpus-scaling data.
+
+    collect() (Row objects preserve int/None), NOT toPandas(): pandas
+    coerces nullable bigints to float64 and a bare non-Arrow driver
+    session then rejects the floats for LongType fields."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
 
 
 def kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

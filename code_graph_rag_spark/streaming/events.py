@@ -229,9 +229,12 @@ def run_bounded(
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     # pin: the memory sink outlives q.stop(), but callers delete source_dir.
-    # The toPandas round-trip is bounded-harness-only (the memory sink is
+    # The collect round-trip is bounded-harness-only (the memory sink is
     # already driver-resident, so this adds no new bottleneck class): a
     # production stream writes to a real sink and never takes this path —
     # run_bounded exists for the driver-contract oracle comparison.
+    # collect() (Row objects), NOT toPandas(): pandas coerces a nullable
+    # bigint column to float64, and a non-Arrow session's strict verifier
+    # then rejects 60.0 for LongType (the r5 events_stream_hourly red row).
     out = spark.table(name)
-    return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    return spark.createDataFrame(out.collect(), schema=out.schema)

@@ -1,7 +1,17 @@
 """Local simulation of the verification driver: run queries() vs oracle_sql()
 at sf0.01 and compare rows/schema/values after pandas canonicalization
 (sorted columns by name, rows lexicographically — list cells would crash,
-exactly like the real driver)."""
+exactly like the real driver).
+
+Usage: driver_sim.py [--bare] [query ...]
+
+--bare runs a DRIVER-PARITY session: a plain
+SparkSession.builder.master("local[8]").getOrCreate() with none of the
+repo's tuning (no Arrow, no AQE overrides, default page size). The real
+driver uses such a session, so config-dependent failures (e.g. the r5
+events_stream_hourly nullable-bigint toPandas pin, which only the
+non-Arrow createDataFrame verifier rejects) must be certified in BOTH
+modes before shipping."""
 import json
 import sys
 
@@ -27,7 +37,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(names):
-    spark = get_spark(cores=8, shuffle_partitions=8, app_name="driver_sim")
+    bare = "--bare" in names
+    names = [n for n in names if n != "--bare"]
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("driver_sim_bare")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(cores=8, shuffle_partitions=8, app_name="driver_sim")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

@@ -86,6 +86,30 @@ def test_stream_hourly_matches_batch_and_drops_late(spark, events_dir):
     assert got == expected  # late row contributed nothing
 
 
+def test_pin_preserves_nullable_bigint_without_arrow(spark):
+    """The r5 driver-red regression: pinning a frame whose nullable bigint
+    column went through toPandas() coerces it to float64, and a non-Arrow
+    session (the driver's) then rejects 60.0 for LongType. Both pin sites
+    (streaming.events.run_bounded, __spark_entry__._pin) now rebuild from
+    collect()ed Rows — exercise that under the driver's Arrow-off config."""
+    import __spark_entry__ as entry
+
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(arrow_key)
+    spark.conf.set(arrow_key, "false")
+    try:
+        df = spark.createDataFrame(
+            [(1, 60), (2, None)], "k long, sum_k long"
+        )
+        pinned = entry._pin(df)
+        rows = {r.k: r.sum_k for r in pinned.collect()}
+        assert rows == {1: 60, 2: None}
+        assert isinstance(rows[1], int)
+        assert pinned.schema["sum_k"].dataType.typeName() == "long"
+    finally:
+        spark.conf.set(arrow_key, prev)
+
+
 def test_stream_session_gap_boundary(spark, events_dir):
     from code_graph_rag_spark.streaming import events as EV
 
