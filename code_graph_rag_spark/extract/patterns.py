@@ -9,6 +9,13 @@ matches become Module/Function/Class nodes plus DEFINES/IMPORTS edges,
 first-pattern-to-match-claims-the-line rule (README.md convention:
 specific patterns before general ones).
 
+DOCUMENTED DIVERGENCE: the reference claims lines PER LABEL (a class
+pattern and a function pattern can both claim one line); this
+implementation is globally first-match-wins across the whole compiled
+rule chain, so a line matching rules of two kinds emits only the first
+kind's mention. The DuckDB oracle implements the same global rule, so
+both sides of the certification agree on the chosen semantics.
+
 Spark-first re-expression: instead of running an external matcher per
 file, a config COMPILES to one whole-stage-codegen projection —
 ``posexplode(split(text, '\\n'))`` then a single chained ``CASE WHEN line

@@ -99,6 +99,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     n: int = 3,
     max_bucket: int | None = 1024,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates.
 
@@ -115,8 +116,13 @@ def lsh_candidate_pairs(
     """
     r = k // bands
     # persist: the signature pipeline feeds both sides of the band self-join
-    # (unpersisted it is computed twice — measured 2x on the sf0.1 bench)
+    # (unpersisted it is computed twice — measured 2x on the sf0.1 bench).
+    # Callers that pass ``persist_registry`` own the unpersist (the
+    # GraphResult cache-tracking rule); without one the blocks live until
+    # the frame is garbage-collected + ContextCleaner runs.
     sigs = minhash_signatures(documents, k, n).persist()
+    if persist_registry is not None:
+        persist_registry.append(sigs)
     # band hash via hash60 (md5-derived) — portable to the DuckDB oracle,
     # unlike Spark's engine-internal F.hash
     banded = sigs.select(
@@ -281,6 +287,7 @@ def simhash_near_dups(
     n: int = 3,
     max_hamming: int = 3,
     max_bucket: int | None = 4096,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via pigeonhole banding.
 
@@ -307,6 +314,8 @@ def simhash_near_dups(
         for b in range(nb)
     ]
     fps = simhash(documents, bits, n).persist()
+    if persist_registry is not None:
+        persist_registry.append(fps)
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -361,6 +370,7 @@ def near_dup_clusters(
     n: int = 3,
     min_agree: float = 0.5,
     max_bucket: int | None = 1024,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH candidates → signature-agreement
     gate → connected components → keep-one-representative verdict.
@@ -383,9 +393,9 @@ def near_dup_clusters(
     """
     from code_graph_rag_spark.linking import connected_components
 
-    pairs = lsh_candidate_pairs(documents, k, bands, n, max_bucket).filter(
-        F.col("sig_agree") >= min_agree
-    )
+    pairs = lsh_candidate_pairs(
+        documents, k, bands, n, max_bucket, persist_registry=persist_registry
+    ).filter(F.col("sig_agree") >= min_agree)
     cc = connected_components(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
@@ -410,6 +420,7 @@ def cross_corpus_dups(
     n: int = 3,
     min_agree: float = 0.5,
     max_bucket: int | None = 1024,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: flag documents in a NEW batch that
     near-duplicate an EXISTING corpus (the FineWeb/Dolma cross-dump shape —
@@ -433,6 +444,8 @@ def cross_corpus_dups(
     """
     sig_new = minhash_signatures(new_docs, k, n).persist()
     sig_corp = minhash_signatures(corpus, k, n).persist()
+    if persist_registry is not None:
+        persist_registry += [sig_new, sig_corp]
     r = k // bands
 
     def _banded(sigs: DataFrame) -> DataFrame:

@@ -42,7 +42,10 @@ def histogram_quantiles(
     ``w = (hi - lo) / n_bins`` (out-of-range values clamp into the edge
     bins). The q-quantile estimate is the LOWER EDGE of the first bin
     whose cumulative count reaches ``ceil(q * n)`` — a deterministic
-    integer rank rule, so both engines agree exactly. Returns
+    integer rank rule, so both engines agree exactly. NULL values are
+    dropped before binning (``n_rows`` counts non-null values): Spark's
+    cumulative window would order a NULL bin first while DuckDB orders it
+    last — filtering makes both engines agree by construction. Returns
     (group, q, estimate, n_rows) ordered by (group, q); estimate is
     rounded to 6 to absorb float formatting, not algorithmic, noise.
     """
@@ -54,7 +57,8 @@ def histogram_quantiles(
         F.lit(n_bins - 1),
     ).cast("long")
     hist = (
-        df.select(F.col(group).alias("grp"), bin_col.alias("bin"))
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(group).alias("grp"), bin_col.alias("bin"))
         .groupBy("grp", "bin")
         .agg(F.count("*").alias("cnt"))
     )

@@ -192,34 +192,29 @@ def shingles(col: Column, n: int = 3) -> Column:
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows — distinct word n-gram shingles per document.
 
-    Codegen-friendly plan: posexplode tokens → ``lead`` window per document
-    → concat. One shuffle on doc_id (the corpus's natural partitioning);
-    no interpreted higher-order functions in the loop. Documents with fewer
-    than n tokens contribute their whole token string (matches
-    ``shingles()``)."""
-    from pyspark.sql import Window
-
-    base = documents.select(
-        "doc_id", norm_tokens(F.col("text")).alias("toks")
+    ZERO-shuffle plan: overlapping n-grams are extracted in one
+    ``regexp_extract_all`` over the normalized text — the pattern is a
+    zero-width position match (fixed-length lookbehind for the padded
+    space, lookahead capturing the next ``n`` tokens), so consecutive
+    matches overlap — then ``array_distinct`` + ``explode``, all inside
+    the scan's map stage. The r1-r5 plan (posexplode tokens → per-doc
+    ``lead`` window → dropDuplicates) shuffled and sorted EVERY TOKEN of
+    the corpus before any aggregation; now the shingle frame has the
+    scan's own partitioning and a consumer like ``minhash_signatures``
+    ships only its k min-hashes per doc through its map-side-combined
+    groupBy — at 100 TB the difference between shuffling the corpus and
+    shuffling a few longs per document (guide §2.3). No interpreted
+    array-lambda HOFs: ``array_distinct`` is a plain collection op.
+    Documents with fewer than n tokens contribute their whole token
+    string (matches ``shingles()``)."""
+    txt = F.col("text")
+    norm = norm_text(txt)
+    pat = "(?<= )(?=(" + " ".join([r"\S+"] * n) + "))"
+    arr = F.array_distinct(
+        F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
     )
-    small = base.filter(F.size("toks") < n).select(
-        "doc_id", F.array_join("toks", " ").alias("shingle")
-    )
-    exploded = base.filter(F.size("toks") >= n).select(
-        "doc_id", F.posexplode("toks").alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    big = (
-        exploded.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            parts[-1].alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .drop("_tail")
-    )
-    return big.unionByName(small).dropDuplicates(["doc_id", "shingle"])
+    shs = F.when(n_tokens_col(txt) < n, F.array(norm)).otherwise(arr)
+    return documents.select("doc_id", F.explode(shs).alias("shingle"))
 
 
 # PII patterns written to the COMMON subset of Java regex (Spark) and RE2
@@ -332,21 +327,22 @@ def repetition_stats(documents: DataFrame, max_dup_frac: float = 0.6,
     shorter than 2 tokens get zero-valued bigram stats (kept), via the
     left join back to the corpus frame.
     """
-    from pyspark.sql import Window
-
     base = documents.select("doc_id", norm_tokens(F.col("text")).alias("toks"))
-    exploded = base.filter(F.size("toks") >= 2).select(
-        "doc_id", F.posexplode("toks").alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        exploded.select(
-            "doc_id",
-            F.col("t"),
-            F.lead("t", 1).over(w).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t", "t2").alias("gram"))
+    # ALL overlapping bigram occurrences (non-distinct — the dup-fraction
+    # rule needs the multiset) via one zero-width overlapping
+    # regexp_extract_all inside the scan stage; the r1-r5 posexplode +
+    # per-doc lead-window plan shuffled and sorted every token first
+    # (guide §2.4 — the exchange is gone, the groupBy below gets map-side
+    # partial aggregation on (doc_id, gram))
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.concat(F.lit(" "), norm_text(F.col("text"))),
+                F.lit(r"(?<= )(?=(\S+ \S+))"),
+                1,
+            )
+        ).alias("gram"),
     )
     gram_counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     g_agg = gram_counts.groupBy("doc_id").agg(

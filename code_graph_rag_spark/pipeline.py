@@ -186,7 +186,9 @@ def _materialize(df: DataFrame, tag: str = "") -> DataFrame:
     return out
 
 
-def _materialize_all(named: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def _materialize_all(
+    named: dict[str, DataFrame], concurrent: bool | None = None
+) -> dict[str, DataFrame]:
     """Materialize several INDEPENDENT stage frames concurrently.
 
     Each entry is ``_materialize``d on its own driver thread: while one
@@ -202,9 +204,12 @@ def _materialize_all(named: dict[str, DataFrame]) -> dict[str, DataFrame]:
     the materialized mentions/entities/alias/closure frames), so
     concurrent jobs never race to compute a shared parent twice.
     ``CGR_SEQUENTIAL_STAGES=1`` restores serial submission (the A/B and
-    fallback knob). Dict order = submission order; put the
-    critical-path frame first."""
-    if os.environ.get("CGR_SEQUENTIAL_STAGES") or len(named) <= 1:
+    fallback knob); ``concurrent=False`` (the scale-adaptive gate, see
+    ``_concurrent_policy``) does the same per call site. Dict order =
+    submission order; put the critical-path frame first."""
+    if concurrent is None:
+        concurrent = not os.environ.get("CGR_SEQUENTIAL_STAGES")
+    if not concurrent or len(named) <= 1:
         return {k: _materialize(df, k) for k, df in named.items()}
     with ThreadPoolExecutor(max_workers=len(named)) as ex:
         futs = [(k, ex.submit(_materialize, df, k)) for k, df in named.items()]
@@ -241,6 +246,29 @@ _WIDE_ROWS_PER_PARTITION = int(
 _JOIN_ROWS_PER_PARTITION = int(
     os.environ.get("CGR_JOIN_ROWS_PER_PARTITION", "400000")
 )
+
+
+def _concurrent_policy(n_mention_rows: int) -> bool:
+    """Scale-adaptive join-phase submission policy.
+
+    Concurrent driver-thread submission overlaps per-stage driver gaps
+    (Catalyst, AQE replans, scheduler submit) with other branches' tasks —
+    a ~20% wall win measured at 20k-60k docs on local[4]/local[16] (r5).
+    Below ~one narrow-view partition of mention rows the build is
+    per-stage-fixed-cost-dominated and the same overlap LOSES: alternating
+    fresh-subprocess A/B at the bench configuration (local[32], 2k docs ≈
+    123k mentions) measured serial 36.4/43.1/39.0 s vs concurrent
+    41.6/60.9/73.1 s — concurrent jobs contend for the scheduler and
+    Python workers while buying no overlap. The gate is DATA-driven (row
+    count), never core count, so the same rule holds on a cluster:
+    tiny scoped/incremental rebuilds submit serially, corpus-scale builds
+    overlap. ``CGR_SEQUENTIAL_STAGES=1`` forces serial everywhere;
+    ``CGR_CONCURRENT_MIN_ROWS`` moves the threshold."""
+    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+        return False
+    return n_mention_rows >= int(
+        os.environ.get("CGR_CONCURRENT_MIN_ROWS", "400000")
+    )
 
 
 def _narrow(df: DataFrame, rows: int, per_part: int, tag: str) -> DataFrame:
@@ -301,6 +329,9 @@ def build_graph_from_mentions(
         # mention store (C++ corpora only), in which case the re-mint
         # below pays the old serial cost and the speculative frame is
         # dropped (its checkpoint blocks are ContextCleaner-reclaimed).
+        # (This 2-thread overlap is kept at every scale: both jobs read
+        # the same checkpointed blocks and it measured neutral-to-positive
+        # at 2k; the scale-adaptive gate below governs the JOIN PHASE.)
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_ent = ex.submit(_materialize, mint_entities(wide), "entities")
             stats = wide.agg(
@@ -320,7 +351,11 @@ def build_graph_from_mentions(
             wide = mentions
             entities = _materialize(mint_entities(mentions), "entities")
     return assemble_graph(
-        mentions, entities, groups=groups, mentions_wide=wide
+        mentions,
+        entities,
+        groups=groups,
+        mentions_wide=wide,
+        concurrent=_concurrent_policy(n_rows),
     )
 
 
@@ -333,6 +368,7 @@ def assemble_graph(
     scope_docs: DataFrame | None = None,
     aux_mentions: DataFrame | None = None,
     mentions_wide: DataFrame | None = None,
+    concurrent: bool | None = None,
 ) -> GraphResult:
     """The join phase. Full mode: ``mentions`` covers every doc and the kept
     frames are None. Scoped (incremental) mode: ``mentions`` holds only the
@@ -345,7 +381,12 @@ def assemble_graph(
     resolution inside the scope sees the whole corpus's return types —
     without them a scoped doc calling ``v = make(); v.area()`` where
     ``make`` lives in an unaffected doc would lose its CALLS edge.
+
+    ``concurrent``: join-phase stage-submission policy (see
+    ``_concurrent_policy``); None = the CGR_SEQUENTIAL_STAGES env default.
     """
+    if concurrent is None:
+        concurrent = not os.environ.get("CGR_SEQUENTIAL_STAGES")
     registry: list = []
     documents = (
         all_docs
@@ -490,7 +531,7 @@ def assemble_graph(
             src = inh
         return inh, src, ancestor_closure(src)
 
-    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+    if not concurrent:
         inh_e, closure_src, closure = _closure_branch()
         recv_cls = None  # resolve_calls computes + persists it
         media_edges = media_plan
@@ -537,7 +578,7 @@ def assemble_graph(
     # at fixture scale). The override/MRO pass is independent of the ladder
     # (it reads entities + the checkpointed closure), so it materializes
     # concurrently — cutting it out of the edges_prov action's tree.
-    if os.environ.get("CGR_SEQUENTIAL_STAGES"):
+    if not concurrent:
         resolved = _materialize(resolved_plan, "resolved")
         ovr_e = ovr_plan  # rides the edges_prov union lazily, as pre-r5
     else:
@@ -581,7 +622,8 @@ def assemble_graph(
             {
                 "io_edges": io_edges(mentions, alias),
                 "exposes": endpoint_e.unionByName(route_e),
-            }
+            },
+            concurrent=concurrent,
         )
         io_e, exposes_e = _io_b["io_edges"], _io_b["exposes"]
         # Scoped mode: the URL→endpoint and contract resolvers are
@@ -608,7 +650,8 @@ def assemble_graph(
                         )
                     ),
                     "exposes_all": exposes_e.unionByName(kept_exposes),
-                }
+                },
+                concurrent=concurrent,
             )
             io_all, exposes_all = _all_b["io_all"], _all_b["exposes_all"]
             rpc_all = rpc_e.unionByName(kept_exposes)
@@ -660,7 +703,8 @@ def assemble_graph(
                 "dispatch": dispatch_exp.unionByName(dispatch_wr).unionByName(
                     dispatch_res
                 ),
-            }
+            },
+            concurrent=concurrent,
         )
         io_group = [
             io_e,

@@ -84,7 +84,14 @@ def pagerank(
     iteration. Returns every node with round(rank, 6) — no float-ordered
     top-k, so the result is rounding-stable against the oracle.
     """
-    links = _simple_links(edges).localCheckpoint(eager=True)
+    base_links = _simple_links(edges)
+    # out-degree folded into the link frame ONCE (one groupBy + one join,
+    # both cut by the checkpoint) — the iteration loop then needs a single
+    # equi-join per power step instead of links ⋈ ranks ⋈ outdeg (guide
+    # §2.4: two operations keyed the same way share one exchange; the
+    # r5 plan re-joined outdeg every iteration)
+    outdeg = base_links.groupBy("src").agg(F.count("*").alias("outdeg"))
+    links = base_links.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         links.select(F.col("src").alias("node"))
         .unionByName(links.select(F.col("dst").alias("node")))
@@ -97,7 +104,6 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_total = nodes.agg(F.count("*").alias("n_nodes"))
-    outdeg = links.groupBy("src").agg(F.count("*").alias("outdeg"))
     # rank frame carries n_nodes along so every expression stays declarative
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
@@ -105,7 +111,6 @@ def pagerank(
     for _ in range(iters):
         contribs = (
             links.join(ranks, links.src == ranks.node)
-            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -174,8 +179,18 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Nodes with no neighbour in the simple graph keep their own label at
+    # EVERY iteration — computed once, outside the loop. Every node with a
+    # neighbour gets a winner row each round (labels always covers all
+    # nodes), so the per-iteration labels frame is winners ∪ isolated — the
+    # r5 plan's per-iteration left-join back onto the previous labels is
+    # gone (guide §2.4: remove shuffles outright).
+    iso_labels = (
+        nodes.join(und.select("node").distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select("node", F.col("node").alias("label"))
-    win = Window.partitionBy("node").orderBy(F.desc("n"), "label")
     for _ in range(iters):
         nbr_labels = und.join(
             labels.select(
@@ -183,21 +198,18 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             ),
             "nbr",
         ).select("node", F.col("nlabel").alias("label"))
+        # winner = most frequent label, ties → lexicographically smallest:
+        # min(struct(-n, label)) — a hash aggregate with map-side partial
+        # combine, replacing the r5 row_number sort-window (same winner,
+        # no per-node sort, one fewer execution phase per round)
         winners = (
             nbr_labels.groupBy("node", "label")
             .agg(F.count("*").alias("n"))
-            .withColumn("rk", F.row_number().over(win))
-            .filter(F.col("rk") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), "label")).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
         )
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        labels = winners.unionByName(iso_labels).localCheckpoint(eager=True)
     return labels.orderBy("node")
 
 
