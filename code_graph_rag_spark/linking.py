@@ -169,12 +169,18 @@ def lsh_link_candidates(
     return out
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star / small-star step (Kiveris et al., "Connected
     Components in MapReduce and Beyond"). Edges are symmetrized, each node
     computes m = min(N(u) ∪ {u}) — a plain min-aggregate, so hub nodes get
     map-side partial combining for free (no salting needed) — and rewires
-    the > u (large) or ≤ u (small) neighbors to m."""
+    the > u (large) or ≤ u (small) neighbors to m.
+
+    ``dedup=False`` skips the trailing ``distinct()`` (one shuffle):
+    duplicate edges never change any min-aggregate, so the INTERMEDIATE
+    large-star output feeding the small star in the same round can stay a
+    multiset — only the round's final output needs deduplication (the
+    convergence signature and the next round's size depend on it)."""
     sym = edges.unionByName(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
     )
@@ -192,7 +198,8 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         out = j.filter(F.col("y") <= F.col("x")).select(
             F.col("y").alias("x"), F.col("mn").alias("y")
         ).unionByName(mins.select("x", F.col("mn").alias("y")))
-    return out.filter(F.col("x") != F.col("y")).distinct()
+    out = out.filter(F.col("x") != F.col("y"))
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -225,7 +232,9 @@ def connected_components(
     )
     prev_sig = None
     for _round in range(max_iter):
-        edges = _star_round(_star_round(edges, large=True), large=False)
+        edges = _star_round(
+            _star_round(edges, large=True, dedup=False), large=False
+        )
         edges = edges.localCheckpoint(eager=True)
         # Order-independent, overflow-free edge-set signature: count plus a
         # bit_xor of per-edge hashes. A SUM of uniformly random 64-bit
