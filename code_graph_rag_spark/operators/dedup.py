@@ -442,10 +442,35 @@ def cross_corpus_dups(
     corpus_doc_id = best match by agreement then lowest id, sig_agree,
     n_matches = corpus docs at or above ``min_agree``), ordered by doc_id.
     """
-    sig_new = minhash_signatures(new_docs, k, n).persist()
-    sig_corp = minhash_signatures(corpus, k, n).persist()
+    # ONE signature pipeline over the tagged union of both inputs: each
+    # side is scanned once and the k min-aggregates run in a single
+    # map-side-combined groupBy keyed on (side, doc_id) — the r5 shape ran
+    # two separate scan+groupBy pipelines (two shuffles, two persists) for
+    # the same bytes. The struct key keeps the two id spaces disjoint even
+    # when doc_ids collide across frames; per-doc signatures are identical
+    # (shingle hashing never sees the key).
+    tagged = new_docs.select(
+        F.struct(
+            F.lit(1).alias("side"), F.col("doc_id").alias("id")
+        ).alias("doc_id"),
+        "text",
+    ).unionByName(
+        corpus.select(
+            F.struct(
+                F.lit(0).alias("side"), F.col("doc_id").alias("id")
+            ).alias("doc_id"),
+            "text",
+        )
+    )
+    sigs = minhash_signatures(tagged, k, n).persist()
     if persist_registry is not None:
-        persist_registry += [sig_new, sig_corp]
+        persist_registry.append(sigs)
+    sig_new = sigs.filter(F.col("doc_id.side") == 1).select(
+        F.col("doc_id.id").alias("doc_id"), "sig"
+    )
+    sig_corp = sigs.filter(F.col("doc_id.side") == 0).select(
+        F.col("doc_id.id").alias("doc_id"), "sig"
+    )
     r = k // bands
 
     def _banded(sigs: DataFrame) -> DataFrame:
@@ -498,15 +523,28 @@ def cross_corpus_dups(
         "corpus_doc_id",
         F.round(matches.cast("double") / F.lit(float(k)), 6).alias("sig_agree"),
     ).filter(F.col("sig_agree") >= min_agree)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("sig_agree").desc(), F.col("corpus_doc_id")
-    )
-    wc = Window.partitionBy("doc_id")
+    # best match (highest agreement, ties → lowest corpus id) + match
+    # count in ONE hash aggregate with map-side partial combine:
+    # min(struct(-agree, id)) replaces the r5 row_number sort-window +
+    # count window pair (same winner — float negation is exact — with no
+    # per-doc sort and half the execution phases)
     return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_matches", F.count("*").over(wc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "corpus_doc_id", "sig_agree", "n_matches")
+        hits.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sig_agree")).alias("na"),
+                    F.col("corpus_doc_id").alias("cid"),
+                )
+            ).alias("m"),
+            F.count("*").alias("n_matches"),
+        )
+        .select(
+            "doc_id",
+            F.col("m.cid").alias("corpus_doc_id"),
+            (-F.col("m.na")).alias("sig_agree"),
+            "n_matches",
+        )
         .orderBy("doc_id")
     )
 

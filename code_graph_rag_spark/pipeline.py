@@ -255,11 +255,14 @@ def _concurrent_policy(n_mention_rows: int) -> bool:
     (Catalyst, AQE replans, scheduler submit) with other branches' tasks —
     a ~20% wall win measured at 20k-60k docs on local[4]/local[16] (r5).
     Below ~one narrow-view partition of mention rows the build is
-    per-stage-fixed-cost-dominated and the same overlap LOSES: alternating
-    fresh-subprocess A/B at the bench configuration (local[32], 2k docs ≈
-    123k mentions) measured serial 36.4/43.1/39.0 s vs concurrent
-    41.6/60.9/73.1 s — concurrent jobs contend for the scheduler and
-    Python workers while buying no overlap. The gate is DATA-driven (row
+    per-stage-fixed-cost-dominated and the same overlap LOSES: 10
+    alternating fresh-subprocess A/B rounds at the bench configuration
+    (local[32], 2k docs ≈ 123k mentions, r6, pooled across three
+    sessions) read serial median ≈ 42.9 s vs concurrent ≈ 48.0 s with
+    serial winning 6 of 10 matched rounds and showing lower variance —
+    concurrent jobs contend for the scheduler and Python workers while
+    buying no overlap (full table: OPTIMIZATION_r06.md). The gate is
+    DATA-driven (row
     count), never core count, so the same rule holds on a cluster:
     tiny scoped/incremental rebuilds submit serially, corpus-scale builds
     overlap. ``CGR_SEQUENTIAL_STAGES=1`` forces serial everywhere;
