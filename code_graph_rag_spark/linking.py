@@ -235,7 +235,11 @@ def connected_components(
         edges = _star_round(
             _star_round(edges, large=True, dedup=False), large=False
         )
-        edges = edges.localCheckpoint(eager=True)
+        # eager=False: the signature aggregate below is the round's
+        # materializing action, so checkpoint + convergence signature are
+        # ONE job instead of two; blocks exist before the next round (or
+        # the final mapping) re-reads the frame.
+        edges = edges.localCheckpoint(eager=False)
         # Order-independent, overflow-free edge-set signature: count plus a
         # bit_xor of per-edge hashes. A SUM of uniformly random 64-bit
         # xxhash64 values overflows a long (fatal under ANSI mode — seen in

@@ -129,7 +129,11 @@ def pagerank(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: each iteration's frame is consumed exactly once
+            # (the next iteration's join, or the final projection), so the
+            # deferred final stage folds into the consumer's first job —
+            # one fewer job per power iteration, identical lineage cut.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank")).orderBy(
         "node"
@@ -209,7 +213,10 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), "label")).alias("m"))
             .select("node", F.col("m.label").alias("label"))
         )
-        labels = winners.unionByName(iso_labels).localCheckpoint(eager=True)
+        # eager=False: consumed exactly once per round (next iteration's
+        # neighbour join, or the final orderBy) — the deferred final stage
+        # folds into that consumer's job; one fewer job per iteration.
+        labels = winners.unionByName(iso_labels).localCheckpoint(eager=False)
     return labels.orderBy("node")
 
 

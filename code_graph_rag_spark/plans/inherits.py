@@ -199,7 +199,13 @@ def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
         )
         .distinct()
     )
-    clo = base.localCheckpoint(eager=True)
+    # eager=False + count(): the count action materializes the lazily-marked
+    # checkpoint blocks itself, so checkpoint + convergence count are ONE
+    # job per round instead of two (the lineage cut is identical — the
+    # returned frame scans the checkpoint RDD either way). Safe here because
+    # the count fully materializes the frame BEFORE any fan-out consumer
+    # builds on it.
+    clo = base.localCheckpoint(eager=False)
     n_prev = clo.count()
     for _ in range(doublings):
         ext = (
@@ -217,7 +223,7 @@ def ancestor_closure(inherits: DataFrame, doublings: int = 3) -> DataFrame:
             .groupBy("cls", "anc")
             .agg(F.min(F.struct("depth", "ord")).alias("m"))
             .select("cls", "anc", F.col("m.depth").alias("depth"), F.col("m.ord").alias("ord"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         # early exit: no new (cls, anc) pairs → the closure is complete
         # (typical hierarchies are depth ≤ 2; saves two checkpoint rounds

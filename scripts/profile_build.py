@@ -30,6 +30,16 @@ def main() -> None:
     sc = spark.sparkContext
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    if os.environ.get("PROF_WARMUP"):
+        # mirror bench.py: one untimed build warms one-off Catalyst
+        # rule-init + Python-worker spin-up out of the profiled build
+        wdocs = synth_corpus_distributed(spark, 100).persist()
+        wdocs.count()
+        wg = build_graph(wdocs)
+        wg.edges.count()
+        wg.unpersist()
+        wdocs.unpersist()
+
     docs = synth_corpus_distributed(spark, DOCS).persist()
     docs.count()
 
