@@ -218,17 +218,25 @@ def connected_components(
     two cheap aggregates, no exceptAll.
     """
     _ = n_salts
+    # The incoming pairs plan (typically an LSH band join) is referenced
+    # three times below — once by the edge frame and twice by the node
+    # union. Checkpoint it ONCE so the upstream plan executes once and
+    # both derivations read cached blocks (pre-r6 the band join re-ran
+    # per referencing action).
+    pairs = pairs.select("a", "b").localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # consumed exactly once (the final mapping join) — lazy checkpoint
+    # folds its job into that action; it reads the cached pairs blocks
     all_nodes = (
         pairs.select(F.col("a").alias("entity_id"))
         .unionByName(pairs.select(F.col("b").alias("entity_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _round in range(max_iter):
