@@ -254,23 +254,25 @@ def _concurrent_policy(n_mention_rows: int) -> bool:
     Concurrent driver-thread submission overlaps per-stage driver gaps
     (Catalyst, AQE replans, scheduler submit) with other branches' tasks —
     a ~20% wall win measured at 20k-60k docs on local[4]/local[16] (r5).
-    Below ~one narrow-view partition of mention rows the build is
-    per-stage-fixed-cost-dominated and the same overlap LOSES: 10
-    alternating fresh-subprocess A/B rounds at the bench configuration
-    (local[32], 2k docs ≈ 123k mentions, r6, pooled across three
-    sessions) read serial median ≈ 42.9 s vs concurrent ≈ 48.0 s with
-    serial winning 6 of 10 matched rounds and showing lower variance —
-    concurrent jobs contend for the scheduler and Python workers while
-    buying no overlap (full table: OPTIMIZATION_r06.md). The gate is
-    DATA-driven (row
-    count), never core count, so the same rule holds on a cluster:
-    tiny scoped/incremental rebuilds submit serially, corpus-scale builds
-    overlap. ``CGR_SEQUENTIAL_STAGES=1`` forces serial everywhere;
+    The threshold history: an early-r6 pooled A/B across three heavily
+    contended sessions (legs spread 29-73 s) read serial slightly ahead at
+    2k docs by MEDIAN (42.9 vs 48.0, 6 of 10 matched rounds) and the gate
+    was set at 400k rows; a later 5-round alternating A/B in normal
+    windows read concurrent ahead in ALL 5 matched rounds at the same
+    configuration (median 18.04 vs 19.77, min 17.87 vs 19.24, LOWER
+    variance) — and even the contended pooled data had the better MIN on
+    the concurrent side (29.0 vs 32.6; min is the protocol's
+    least-contaminated observation). So the overlap pays at bench scale
+    too, and the gate now only keeps genuinely tiny scoped/incremental
+    rebuilds (a few docs' blast radius) serial, where per-job fixed cost
+    is everything and there is nothing to overlap. The gate is DATA-driven
+    (row count), never core count, so the same rule holds on a cluster.
+    ``CGR_SEQUENTIAL_STAGES=1`` forces serial everywhere;
     ``CGR_CONCURRENT_MIN_ROWS`` moves the threshold."""
     if os.environ.get("CGR_SEQUENTIAL_STAGES"):
         return False
     return n_mention_rows >= int(
-        os.environ.get("CGR_CONCURRENT_MIN_ROWS", "400000")
+        os.environ.get("CGR_CONCURRENT_MIN_ROWS", "100000")
     )
 
 
