@@ -265,14 +265,18 @@ def _concurrent_policy(n_mention_rows: int) -> bool:
     least-contaminated observation). So the overlap pays at bench scale
     too, and the gate now only keeps genuinely tiny scoped/incremental
     rebuilds (a few docs' blast radius) serial, where per-job fixed cost
-    is everything and there is nothing to overlap. The gate is DATA-driven
+    is everything and there is nothing to overlap. A follow-up 3-round
+    A/B on the 41k-row JS bench corpus read concurrent ahead in every
+    matched round there as well (min 11.56 vs 13.01, median ~13.1 vs
+    ~15.0), so the floor sits at 10k rows — below it no leg was ever
+    measured and the jobs are sub-second. The gate is DATA-driven
     (row count), never core count, so the same rule holds on a cluster.
     ``CGR_SEQUENTIAL_STAGES=1`` forces serial everywhere;
     ``CGR_CONCURRENT_MIN_ROWS`` moves the threshold."""
     if os.environ.get("CGR_SEQUENTIAL_STAGES"):
         return False
     return n_mention_rows >= int(
-        os.environ.get("CGR_CONCURRENT_MIN_ROWS", "100000")
+        os.environ.get("CGR_CONCURRENT_MIN_ROWS", "10000")
     )
 
 
